@@ -1,0 +1,53 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+Local sandbox runs use ``local[N]``; on a real cluster the same builder
+is used by ``spark-submit --py-files`` with master unset. The configs
+encode the scale posture from SURVEY.md §4: AQE on (broadcast
+conversion, partition coalescing, skew-join splitting), Arrow on for the
+pandas-UDF codec boundary, UTC session TZ so DuckDB oracle comparisons
+and Iceberg partition transforms agree, shuffle partitions sized to
+cores locally (overridden by AQE coalescing at scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "drought_t_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    b = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = f"local[{cores}]"
+    if master:  # empty string → leave to spark-submit
+        b = b.master(master)
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cores
+        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",  # wide token arrays
+        "spark.sql.parquet.compression.codec": "zstd",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "32g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
