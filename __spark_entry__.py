@@ -1,38 +1,747 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship drought pipeline on sf0.001.
+`queries()` exposes one DataFrame builder per implemented operator from
+SURVEY.md §2; `oracle_sql()` gives the DuckDB twin for every
+SQL-expressible one (identical column names/ordering; floats rounded
+identically on both sides). Non-SQL-expressible operators (codec,
+pooling fixed point, LSH approximations, multimodal stubs) are
+rows-only by design.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from drought_t_spark.config import EngineConfig
+from drought_t_spark.operators import rollup as R
+from drought_t_spark.operators import similarity as SIM
+from drought_t_spark.operators import textstats as TS
+from drought_t_spark.operators.dedup import (
+    exact_dedup,
+    embedding_near_dups,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from drought_t_spark.operators.gapfill import gap_fill, missing_buckets
+from drought_t_spark.operators.multimodal import decode_image_features, sample_frames, synth_media
+from drought_t_spark.operators.smoothing import moving_avg
+from drought_t_spark.plans.drought import drought_events_for_tier, rollup_tiers, series_to_tier
+
+# ----------------------------------------------------------- helpers --
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _hour_stats(spark, sf_dir) -> DataFrame:
+    """Observed hourly buckets of the events table (event_type plays the
+    role of source): n, sum, avg of `value` — the AG1 shape."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("value").alias("sum_raw"),
+            F.avg("value").alias("avg_raw"),
+        )
+    )
+
+
+_RUNS_CFG = EngineConfig(
+    ma_window=1, threshold_mode="fixed", threshold_pct=0.5, pooling="none",
+    min_duration=1, min_severity_abs=0.0, gap_fill_mode="none",
+)
+
+# fixed threshold: the events table spans ~1 month, so a day-of-year
+# variable threshold would see one observation per cycle position and
+# strict '<' would never fire (degenerate). Variable mode is exercised
+# on multi-year fixtures in tests/test_drought_parity.py.
+_FLAGSHIP_CFG = EngineConfig(
+    ma_window=5, threshold_mode="fixed", threshold_pct=0.5, pooling="ic",
+    pool_tc=3, pool_pc=0.2, min_duration=1, min_severity_abs=0.0,
+)
+
+
+def _daily_series(spark, sf_dir) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("day", "ts").alias("bucket_start"),
+    ).agg(F.avg("value").alias("value"))
+    return daily
+
+
+# SQL fragment shared by the time-series oracles: observed hourly buckets
+_SQL_HOURLY = """
+b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         sum(value) AS sum_raw, avg(value) AS avg_raw
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT event_type, min(bucket_start) lo, max(bucket_start) hi FROM b GROUP BY 1),
+cal AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+  FROM r
+),
+s AS (
+  SELECT cal.event_type, cal.bucket_start, b.n_rows, b.sum_raw, b.avg_raw,
+         b.bucket_start IS NULL AS gap_filled
+  FROM cal LEFT JOIN b
+    ON cal.event_type = b.event_type AND cal.bucket_start = b.bucket_start
+)
+"""
+
+
+# ----------------------------------------------------------- queries --
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full drought pipeline (gap-fill → MA → variable
+    threshold → runs → IC pooling → exclusion) on sf0.001 daily tier."""
+    sf_dir = "/root/testdata/sf0.001"
+    tier = series_to_tier(_daily_series(spark, sf_dir), site_col="source",
+                          ts_col="bucket_start", value_col="value")
+    return drought_events_for_tier(tier, "day", _FLAGSHIP_CFG)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- rollup / tiers (AG1/AG2) ---
+    def rollup_hourly(spark, sf_dir):
+        return _hour_stats(spark, sf_dir).select(
+            F.col("source").alias("event_type"),
+            "bucket_start",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round("sum_raw", 3).alias("sum_value"),
+            F.round("avg_raw", 6).alias("avg_value"),
+        )
+    q["rollup_hourly"] = rollup_hourly
+
+    def rollup_daily_cascade(spark, sf_dir):
+        h = _hour_stats(spark, sf_dir)
+        return (
+            h.groupBy("source", F.date_trunc("day", "bucket_start").alias("bucket_start"))
+            .agg(F.sum("n_rows").cast("long").alias("n_rows"),
+                 F.round(F.sum("sum_raw"), 3).alias("sum_value"))
+            .select(F.col("source").alias("event_type"), "bucket_start", "n_rows", "sum_value")
+        )
+    q["rollup_daily_cascade"] = rollup_daily_cascade
+
+    # --- gap-fill family (GF1/J3/J4) ---
+    def gapfill_hourly(spark, sf_dir):
+        h = _hour_stats(spark, sf_dir).withColumn("value", F.col("sum_raw"))
+        filled = gap_fill(h, "hour", EngineConfig(), value_cols=("value",))
+        return filled.select(
+            F.col("source").alias("event_type"), "bucket_start",
+            F.round("value", 3).alias("sum_value"), "gap_filled",
+        )
+    q["gapfill_hourly"] = gapfill_hourly
+
+    def locf_fill(spark, sf_dir):
+        h = _hour_stats(spark, sf_dir).withColumn("value", F.col("sum_raw"))
+        filled = gap_fill(h, "hour", EngineConfig(gap_fill_mode="locf"), value_cols=("value",))
+        return filled.select(
+            F.col("source").alias("event_type"), "bucket_start",
+            F.round("value", 3).alias("v_locf"),
+        )
+    q["locf_fill"] = locf_fill
+
+    def missing_hourly(spark, sf_dir):
+        h = _hour_stats(spark, sf_dir)
+        return (
+            missing_buckets(h, "hour")
+            .groupBy(F.col("source").alias("event_type"))
+            .agg(F.count("*").cast("long").alias("n_missing"))
+        )
+    q["missing_buckets"] = missing_hourly
+
+    # --- smoothing (W1) ---
+    def moving_avg_centered(spark, sf_dir):
+        h = _hour_stats(spark, sf_dir).withColumn("value", F.col("avg_raw"))
+        filled = gap_fill(h, "hour", EngineConfig(), value_cols=("value",))
+        sm = moving_avg(filled, 7)
+        return sm.select(
+            F.col("source").alias("event_type"), "bucket_start",
+            F.round("x_ma", 6).alias("x_ma"),
+        )
+    q["moving_avg_centered"] = moving_avg_centered
+
+    # --- thresholds (TH1/TH2) ---
+    def threshold_fixed(spark, sf_dir):
+        h = _hour_stats(spark, sf_dir)
+        return h.groupBy(F.col("source").alias("event_type")).agg(
+            F.round(F.percentile("avg_raw", F.lit(0.5)), 6).alias("x0")
+        )
+    q["threshold_fixed"] = threshold_fixed
+
+    def threshold_variable(spark, sf_dir):
+        h = _hour_stats(spark, sf_dir)
+        return (
+            h.groupBy(
+                F.col("source").alias("event_type"),
+                F.hour("bucket_start").cast("int").alias("cycle_pos"),
+            )
+            .agg(F.round(F.percentile("avg_raw", F.lit(0.5)), 6).alias("x0"))
+        )
+    q["threshold_variable"] = threshold_variable
+
+    # --- runs / events (RL1/RL2/EV1, unpooled — SQL-expressible) ---
+    def runs_events(spark, sf_dir):
+        tier = _daily_series(spark, sf_dir)
+        ev = drought_events_for_tier(tier, "day", _RUNS_CFG)
+        return ev.select(
+            F.col("source").alias("event_type"), "onset", "termination",
+            F.col("duration").cast("long").alias("duration"),
+            F.round("severity", 3).alias("severity"),
+        )
+    q["runs_events"] = runs_events
+
+    def run_summary(spark, sf_dir):
+        tier = _daily_series(spark, sf_dir)
+        ev = drought_events_for_tier(tier, "day", _RUNS_CFG)
+        return ev.groupBy(F.col("source").alias("event_type")).agg(
+            F.count("*").cast("long").alias("n_runs"),
+            F.round(F.avg("duration"), 6).alias("mean_duration"),
+            F.round(F.max("severity"), 3).alias("max_severity"),
+        )
+    q["run_summary"] = run_summary
+
+    # --- cumulative deficit (W6) ---
+    def cumulative_deficit(spark, sf_dir):
+        # inputs rounded to 6dp on BOTH engines before the running sum so
+        # the summands (and hence the sequential cumsum) are bit-identical
+        h = _hour_stats(spark, sf_dir).withColumn("value", F.round("avg_raw", 6))
+        filled = gap_fill(h, "hour", EngineConfig(), value_cols=("value",))
+        th = _hour_stats(spark, sf_dir).groupBy("source").agg(
+            F.round(F.percentile(F.round("avg_raw", 6), F.lit(0.5)), 6).alias("x0")
+        )
+        j = filled.join(F.broadcast(th), "source")
+        defc = F.greatest(F.coalesce(F.col("x0") - F.col("value"), F.lit(0.0)), F.lit(0.0))
+        w = Window.partitionBy("source").orderBy("bucket_start").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return j.select(
+            F.col("source").alias("event_type"), "bucket_start",
+            F.round(F.sum(defc).over(w), 3).alias("cum_deficit"),
+        )
+    q["cumulative_deficit"] = cumulative_deficit
+
+    # --- ranking / top-k (W4/SO2) ---
+    def topk_per_group(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.col("event_id"))
+        return (
+            ev.withColumn("rn", F.row_number().over(w).cast("long"))
+            .where(F.col("rn") <= 3)
+            .select("event_type", "event_id", "value", "rn")
+        )
+    q["topk_per_group"] = topk_per_group
+
+    def global_topk(spark, sf_dir):
+        return (
+            _t(spark, sf_dir, "events")
+            .orderBy(F.desc("value"), F.col("event_id"))
+            .limit(10)
+            .select("event_id", "event_type", "value")
+        )
+    q["global_topk"] = global_topk
+
+    # --- joins (J2/J5) / set ops (SE2) / rollup report (AG7) ---
+    def join_star(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        n = _t(spark, sf_dir, "nation")
+        r = _t(spark, sf_dir, "region")
+        return (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        )
+    q["join_star"] = join_star
+
+    def tpch_q1(spark, sf_dir):
+        l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+        return (
+            l.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+                F.count("*").cast("long").alias("count_order"),
+            )
+        )
+    q["tpch_q1"] = tpch_q1
+
+    def anti_join(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders")
+        return (
+            c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").cast("long").alias("n_customers"))
+        )
+    q["anti_join"] = anti_join
+
+    def semi_join(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders")
+        return (
+            c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").cast("long").alias("n_customers"))
+        )
+    q["semi_join"] = semi_join
+
+    def set_except(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        a = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+        b = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+        return a.exceptAll(b.intersect(a)).select("o_custkey")  # == EXCEPT (distinct)
+    q["set_except"] = set_except
+
+    def grouping_rollup(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        return (
+            o.rollup("o_orderpriority", F.year("o_orderdate").alias("year"))
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+            .select(
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+                F.coalesce(F.col("year"), F.lit(-1)).cast("int").alias("year"),
+                "n_orders", "total_price",
+            )
+        )
+    q["grouping_rollup"] = grouping_rollup
+
+    def json_extract(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        return (
+            ev.select(F.get_json_object("props", "$.k").alias("k_str"))
+            .groupBy("k_str")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+    q["json_extract"] = json_extract
+
+    # --- dedup / text analysis ---
+    def dedup_exact(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return exact_dedup(d, ["text"], "doc_id").select(
+            F.col("keeper").cast("long").alias("keeper"), "n_copies"
+        )
+    q["dedup_exact"] = dedup_exact
+
+    def fingerprint_docs(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return TS.fingerprint(d).select("doc_id", "fp_md5")
+    q["fingerprint_docs"] = fingerprint_docs
+
+    def text_stats(spark, sf_dir):
+        return TS.text_stats(_t(spark, sf_dir, "documents"))
+    q["text_stats"] = text_stats
+
+    def lang_id(spark, sf_dir):
+        return TS.lang_id(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "lang_pred", F.col("lang_hits").cast("int").alias("lang_hits")
+        )
+    q["lang_id"] = lang_id
+
+    def token_count(spark, sf_dir):
+        return TS.token_count(_t(spark, sf_dir, "documents"))
+    q["token_count"] = token_count
+
+    def quality_score(spark, sf_dir):
+        return TS.quality_score(_t(spark, sf_dir, "documents"))
+    q["quality_score"] = quality_score
+
+    # --- similarity search ---
+    def cosine_topk(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings")
+        qv = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+        return SIM.cosine_topk(e, qv, k=10).select(
+            "vec_id", F.round("score", 6).alias("score")
+        )
+    q["cosine_topk"] = cosine_topk
+
+    # --- rows-only (non-SQL-expressible / approximate / stubs) ---
+    def _docs_with_copies(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        return d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+
+    def minhash_pairs(spark, sf_dir):
+        return minhash_lsh_pairs(_docs_with_copies(spark, sf_dir), jaccard_threshold=0.99).select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        )
+    q["minhash_pairs"] = minhash_pairs
+
+    def simhash_pairs(spark, sf_dir):
+        return simhash_near_pairs(_docs_with_copies(spark, sf_dir), max_hamming=3)
+    q["simhash_pairs"] = simhash_pairs
+
+    def embedding_neardups(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        both = e.unionByName(
+            e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        )
+        return embedding_near_dups(both, threshold=0.999999).select(
+            "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+        )
+    q["embedding_neardups"] = embedding_neardups
+
+    def cosine_topk_lsh(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings")
+        qv = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+        return SIM.cosine_topk_lsh(e, qv, k=10, n_planes=6).select(
+            "vec_id", F.round("score", 6).alias("score")
+        )
+    q["cosine_topk_lsh"] = cosine_topk_lsh
+
+    def codec_roundtrip(spark, sf_dir):
+        from drought_t_spark import synth
+        from drought_t_spark.codec.udfs import decode_tokens_udf, encode_tokens_udf
+
+        seqs = synth.sequences_df(spark, n_sources=4, n_total=2000)
+        rt = seqs.select(
+            "doc_id",
+            F.col("tokens").alias("orig"),
+            decode_tokens_udf(encode_tokens_udf("tokens")).alias("decoded"),
+        )
+        return rt.select(
+            F.count("*").cast("long").alias("n_payloads"),
+            F.sum((F.col("orig") != F.col("decoded")).cast("int")).cast("long").alias("n_mismatch"),
+        )
+    q["codec_roundtrip"] = codec_roundtrip
+
+    def tier_rollup_synth(spark, sf_dir):
+        from drought_t_spark import synth
+
+        seqs = synth.sequences_df(spark, n_sources=4, n_total=4000)
+        tiers = rollup_tiers(seqs)
+        return (
+            tiers["day"]
+            .select("source", "bucket_start", "n_seq", "n_tok_sum", "n_tok_min", "n_tok_max")
+        )
+    q["tier_rollup_synth"] = tier_rollup_synth
+
+    def payload_pack_synth(spark, sf_dir):
+        from drought_t_spark import synth
+
+        seqs = R.with_event_time(synth.sequences_df(spark, n_sources=4, n_total=4000))
+        pay = R.pack_payloads(seqs, "hour")
+        return pay.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("payload_n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.length("payload")).cast("long").alias("payload_bytes"),
+        )
+    q["payload_pack_synth"] = payload_pack_synth
+
+    def drought_events_full(spark, sf_dir):
+        tier = _daily_series(spark, sf_dir)
+        return drought_events_for_tier(tier, "day", _FLAGSHIP_CFG).select(
+            F.col("source").alias("event_type"), "event_id", "onset", "termination",
+            "duration", F.round("severity", 3).alias("severity"),
+            F.round("intensity", 6).alias("intensity"), "pooled", "excluded",
+        )
+    q["drought_events_full"] = drought_events_full
+
+    def multimodal_features(spark, sf_dir):
+        media = synth_media(_t(spark, sf_dir, "documents"))
+        feats = decode_image_features(media)
+        return feats.select("media_id", "n_bytes", "crc32")
+    q["multimodal_features"] = multimodal_features
+
+    def multimodal_frames(spark, sf_dir):
+        media = synth_media(_t(spark, sf_dir, "documents"))
+        return (
+            sample_frames(media, n_frames=4)
+            .groupBy("media_id")
+            .agg(F.count("*").cast("long").alias("n_frames"),
+                 F.sum(F.length("frame")).cast("long").alias("frame_bytes"))
+        )
+    q["multimodal_frames"] = multimodal_frames
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["rollup_hourly"] = """
+    SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 3) AS sum_value,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1, 2
     """
-    return {}
+
+    o["rollup_daily_cascade"] = """
+    SELECT event_type, date_trunc('day', ts) AS bucket_start,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 3) AS sum_value
+    FROM events GROUP BY 1, 2
+    """
+
+    o["gapfill_hourly"] = f"""
+    WITH {_SQL_HOURLY}
+    SELECT event_type, bucket_start, round(sum_raw, 3) AS sum_value, gap_filled
+    FROM s
+    """
+
+    o["locf_fill"] = f"""
+    WITH {_SQL_HOURLY}
+    SELECT event_type, bucket_start,
+           round(last_value(sum_raw IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS v_locf
+    FROM s
+    """
+
+    o["missing_buckets"] = f"""
+    WITH {_SQL_HOURLY}
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_missing
+    FROM s WHERE gap_filled GROUP BY 1
+    """
+
+    o["moving_avg_centered"] = f"""
+    WITH {_SQL_HOURLY}
+    SELECT event_type, bucket_start,
+           round(avg(avg_raw) OVER (
+               PARTITION BY event_type ORDER BY bucket_start
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS x_ma
+    FROM s
+    """
+
+    o["threshold_fixed"] = """
+    SELECT event_type,
+           round(CAST(quantile_cont(avg_raw, 0.5) AS DOUBLE), 6) AS x0
+    FROM (SELECT event_type, date_trunc('hour', ts) h, avg(value) avg_raw
+          FROM events GROUP BY 1, 2) b
+    GROUP BY 1
+    """
+
+    o["threshold_variable"] = """
+    SELECT event_type, CAST(extract(hour FROM h) AS INTEGER) AS cycle_pos,
+           round(CAST(quantile_cont(avg_raw, 0.5) AS DOUBLE), 6) AS x0
+    FROM (SELECT event_type, date_trunc('hour', ts) h, avg(value) avg_raw
+          FROM events GROUP BY 1, 2) b
+    GROUP BY 1, 2
+    """
+
+    _runs_core = """
+    b AS (SELECT event_type, date_trunc('day', ts) AS d, avg(value) AS v
+          FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, min(d) lo, max(d) hi FROM b GROUP BY 1),
+    cal AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM r),
+    s AS (SELECT cal.event_type, cal.d, b.v
+          FROM cal LEFT JOIN b ON cal.event_type = b.event_type AND cal.d = b.d),
+    th AS (SELECT event_type, CAST(quantile_cont(v, 0.5) AS DOUBLE) AS x0
+           FROM s WHERE v IS NOT NULL GROUP BY 1),
+    m AS (SELECT s.event_type, s.d, s.v, th.x0,
+                 CASE WHEN s.v < th.x0 THEN 1 ELSE 0 END AS below
+          FROM s JOIN th ON s.event_type = th.event_type),
+    seg AS (SELECT *, CASE WHEN lag(below) OVER w IS NULL
+                             OR lag(below) OVER w <> below THEN 1 ELSE 0 END AS chg
+            FROM m WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+    rid AS (SELECT *, sum(chg) OVER (PARTITION BY event_type ORDER BY d
+                                     ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM seg),
+    ev AS (SELECT event_type, run_id, min(d) AS onset, max(d) AS termination,
+                  CAST(count(*) AS BIGINT) AS duration,
+                  sum(x0 - v) AS sev_raw
+           FROM rid WHERE below = 1 GROUP BY event_type, run_id)
+    """
+
+    o["runs_events"] = f"""
+    WITH {_runs_core}
+    SELECT event_type, onset, termination, duration, round(sev_raw, 3) AS severity
+    FROM ev
+    """
+
+    o["run_summary"] = f"""
+    WITH {_runs_core}
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+           round(avg(duration), 6) AS mean_duration,
+           round(max(sev_raw), 3) AS max_severity
+    FROM ev GROUP BY 1
+    """
+
+    o["cumulative_deficit"] = f"""
+    WITH {_SQL_HOURLY},
+    th AS (SELECT event_type,
+                  round(CAST(quantile_cont(round(avg_raw, 6), 0.5) AS DOUBLE), 6) AS x0
+           FROM b GROUP BY 1)
+    SELECT s.event_type, s.bucket_start,
+           round(sum(greatest(coalesce(th.x0 - round(s.avg_raw, 6), 0.0), 0.0)) OVER (
+               PARTITION BY s.event_type ORDER BY s.bucket_start
+               ROWS UNBOUNDED PRECEDING), 3) AS cum_deficit
+    FROM s JOIN th ON s.event_type = th.event_type
+    """
+
+    o["topk_per_group"] = """
+    SELECT event_type, event_id, value, rn FROM (
+      SELECT event_type, event_id, value,
+             CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY value DESC, event_id) AS BIGINT) AS rn
+      FROM events) t
+    WHERE rn <= 3
+    """
+
+    o["global_topk"] = """
+    SELECT event_id, event_type, value
+    FROM events ORDER BY value DESC, event_id LIMIT 10
+    """
+
+    o["join_star"] = """
+    SELECT r_name, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """
+
+    o["tpch_q1"] = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+    o["anti_join"] = """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
+    """
+
+    o["semi_join"] = """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer WHERE EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
+    """
+
+    o["set_except"] = """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """
+
+    o["grouping_rollup"] = """
+    SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           CAST(coalesce(year(o_orderdate), -1) AS INTEGER) AS year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY ROLLUP (o_orderpriority, year(o_orderdate))
+    """
+
+    o["json_extract"] = """
+    SELECT json_extract_string(props, '$.k') AS k_str,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """
+
+    o["dedup_exact"] = """
+    SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY text
+    """
+
+    o["fingerprint_docs"] = """
+    SELECT doc_id,
+           md5(lower(array_to_string(
+               list_filter(string_split(text, ' '), x -> x <> ''), ' '))) AS fp_md5
+    FROM documents
+    """
+
+    o["text_stats"] = """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+           CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+           length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+             / greatest(length(text), 1) AS punct_ratio
+    FROM documents
+    """
+
+    _hits = lambda ws: (
+        "len(list_filter(list_filter(string_split(text, ' '), w -> w <> ''),"
+        f" t -> list_contains([{','.join(repr(w) for w in ws)}], lower(t))))"
+    )
+    from drought_t_spark.operators.textstats import _STOPWORDS
+
+    he, hs, hf, hd = (_hits(_STOPWORDS[l]) for l in ["en", "es", "fr", "de"])
+    o["lang_id"] = f"""
+    SELECT doc_id,
+           CASE WHEN {he} >= {hs} AND {he} >= {hf} AND {he} >= {hd} THEN 'en'
+                WHEN {hs} >= {hf} AND {hs} >= {hd} THEN 'es'
+                WHEN {hf} >= {hd} THEN 'fr'
+                ELSE 'de' END AS lang_pred,
+           CAST(greatest({he}, {hs}, {hf}, {hd}) AS INTEGER) AS lang_hits
+    FROM documents
+    """
+
+    o["token_count"] = """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                + length(regexp_replace(text, '[^.,!?;:()\\[\\]]', '', 'g')) AS BIGINT) AS n_tokens
+    FROM documents
+    """
+
+    o["quality_score"] = """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+             CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+               / greatest(length(text), 1) AS punct_ratio,
+             len(list_filter(list_filter(string_split(text, ' '), w -> w <> ''),
+                 t -> list_contains(['the','and','of','to','in'], lower(t)))) AS en_hits
+      FROM documents)
+    SELECT doc_id,
+           CAST((CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1 ELSE 0 END)
+              + (CASE WHEN punct_ratio < 0.2 THEN 1 ELSE 0 END)
+              + (CASE WHEN en_hits > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN (n_chars - n_spaces) / greatest(n_words, 1)
+                     BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) AS INTEGER) AS quality,
+           n_words,
+           round(punct_ratio, 6) AS punct_ratio,
+           round((n_chars - n_spaces) / greatest(n_words, 1), 6) AS mean_word_len
+    FROM s
+    """
+
+    o["cosine_topk"] = """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT vec_id,
+                 list_dot_product(embedding::DOUBLE[], qv)
+                   / nullif(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(qv, qv)), 0.0) AS score_raw
+          FROM embeddings, q)
+    SELECT vec_id, round(score_raw, 6) AS score
+    FROM s ORDER BY score_raw DESC, vec_id LIMIT 10
+    """
+
+    return o

@@ -1,0 +1,122 @@
+"""Multimodal columns: image/audio/video as opaque `binary` columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The decode step is STUBBED (no image/audio libraries in this
+container): `decode_image_features(real_decode=True)` raises
+NotImplementedError; the default is a deterministic fake extractor
+(byte-histogram features) so the Spark-side plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — is real and tested.
+On a real cluster, swap `_fake_features` for Pillow/torchvision inside
+the same mapInPandas body; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),      # image|audio|video
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), False),   # opaque bytes
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("crc32", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def synth_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic fake media table: text bytes become the opaque
+    payload; metadata derived from lengths. Pure function of the input."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.when(F.col(id_col) % 3 == 0, "image")
+        .when(F.col(id_col) % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.length(text_col) % 640 + 16).cast("int").alias("width"),
+        (F.length(text_col) % 480 + 16).cast("int").alias("height"),
+        (F.length(text_col) * 10).cast("int").alias("duration_ms"),
+        F.encode(text_col, "UTF-8").alias("payload"),
+    )
+
+
+def _fake_features(payload: bytes, n_bins: int = 16) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: normalized byte
+    histogram. REPLACE with a real decode on clusters with media libs."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if len(arr) == 0:
+        return np.zeros(n_bins)
+    hist, _ = np.histogram(arr, bins=n_bins, range=(0, 256))
+    return hist / len(arr)
+
+
+def decode_image_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    real_decode=True is the integration point for an actual image
+    decoder — NOT IMPLEMENTED in this container (no PIL/cv2)."""
+    if real_decode:
+        raise NotImplementedError(
+            "real image decode requires Pillow/torchvision — not in this "
+            "container; wire it into _fake_features's slot"
+        )
+
+    def extract(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "crc32": pdf["payload"].map(lambda b: zlib.crc32(b)).astype("int64"),
+                    "features": pdf["payload"].map(lambda b: _fake_features(bytes(b)).tolist()),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(extract, FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Deterministic frame sampling: split the payload into n equal
+    byte slices (stand-in for video frame extraction; the Spark-side
+    shape — one row per (media, frame) — is the real contract)."""
+
+    def sample(batches):
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * step : (i + 1) * step])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select("media_id", "payload").mapInPandas(sample, FRAMES_SCHEMA)

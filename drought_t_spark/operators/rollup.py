@@ -116,8 +116,9 @@ def pack_payloads(
         .alias("chunk_id")
     )
     grouped = (
-        seqs_t1.select("source", bucket, "seq", "tokens", "n_tok")
+        seqs_t1.select("source", bucket, "ts", "seq", "tokens", "n_tok")
         .withColumn("chunk_id", chunk)
+        .drop("ts")
         .groupBy("source", "bucket_start", "chunk_id")
         .agg(
             # array_sort on (seq, tokens) structs orders member sequences

@@ -1,0 +1,86 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the exact baseline: one scan, JVM-side
+zip_with/aggregate dot products, TakeOrderedAndProject for the top-k —
+no shuffle beyond the final k-row reduce. The scale path is
+random-hyperplane LSH bucketing (probe only the query's bucket —
+candidates shrink by ~2^n_planes) — same hyperplanes both sides,
+deterministic from the seed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _lit_vec(v) -> str:
+    return "array(" + ",".join(f"cast({float(x)!r} as double)" for x in v) + ")"
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Cosine similarity of two array<double> columns (JVM-side)."""
+    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (s, x) -> s + x)"
+    na = f"sqrt(aggregate({a}, cast(0.0 as double), (s, x) -> s + x * x))"
+    nb = f"sqrt(aggregate({b}, cast(0.0 as double), (s, x) -> s + x * x))"
+    return F.expr(f"({dot}) / nullif(({na}) * ({nb}), 0.0)")
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k vs a constant query vector."""
+    q = _lit_vec(query_vec)
+    scored = df.select(
+        F.col(id_col),
+        cosine_expr(f"transform({vec_col}, x -> cast(x as double))", q).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def hyperplane_bucket(vec_col: str, n_planes: int = 12, seed: int = 42,
+                      dim: int = 64) -> Column:
+    """LSH bucket id: sign bits of dot products with seeded random
+    hyperplanes (deterministic; planes inlined as literals, truncated
+    to `dim` — zip_with ignores trailing mismatch harmlessly)."""
+    rng = np.random.default_rng(seed)
+    bits = []
+    planes = rng.standard_normal((n_planes, 512))
+    for p, plane in enumerate(planes):
+        lit = _lit_vec(plane[:dim])
+        dot = f"aggregate(zip_with({vec_col}, {lit}, (x, y) -> x * y), cast(0.0 as double), (s, x) -> s + x)"
+        bits.append(f"CASE WHEN ({dot}) > 0 THEN shiftleft(1L, {p}) ELSE 0L END")
+    return F.expr(" + ".join(bits))
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe only vectors in the query's LSH bucket.
+    Recall < 1 by design; the exact baseline is cosine_topk."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, 512))
+    qbucket = 0
+    for p, plane in enumerate(planes):
+        if float(np.dot(q, plane[: len(q)])) > 0:
+            qbucket |= 1 << p
+    dv = df.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    ).withColumn("bucket", hyperplane_bucket("v", n_planes, seed, dim=len(q)))
+    scored = dv.where(F.col("bucket") == qbucket).select(
+        id_col, cosine_expr("v", _lit_vec(q)).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)

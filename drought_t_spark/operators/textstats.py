@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines — all built-in
+Catalyst string/array expressions (whole-stage codegen; no UDFs).
+
+* text_stats — length / word / whitespace / punctuation counts;
+* quality_score — length-punct-stopword heuristic flags;
+* lang_id — n-gram/stopword-voting heuristic language guess;
+* token_count — whitespace + punctuation-aware token counting;
+* fingerprint — md5 content fingerprint + polynomial rolling word hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WORDS = "filter(split({c}, ' +'), w -> w <> '')"
+
+# tiny public stopword lists for the heuristic voter
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def _stopword_hits(text_col: str, words: list[str]) -> Column:
+    w = _WORDS.format(c=text_col)
+    arr = "array(" + ",".join(f"'{x}'" for x in words) + ")"
+    return F.expr(f"size(filter({w}, t -> array_contains({arr}, lower(t))))")
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    w = _WORDS.format(c=text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.expr(f"size({w})").cast("long").alias("n_words"),
+        (F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))))
+        .cast("long").alias("n_spaces"),
+        F.length(F.regexp_replace(F.col(text_col), r"[^.,!?;:]", "")).cast("long").alias("n_punct"),
+        (F.length(F.regexp_replace(F.col(text_col), r"[^.,!?;:]", "")) / F.greatest(F.length(text_col), F.lit(1)))
+        .alias("punct_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite quality heuristic: word-count band, punct ratio,
+    stopword presence, mean word length band → score in [0, 4]."""
+    s = text_stats(df.select(id_col, text_col), id_col, text_col)
+    en = _stopword_hits(text_col, _STOPWORDS["en"])
+    joined = df.select(id_col, text_col).join(s, id_col)
+    mean_wl = (F.col("n_chars") - F.col("n_spaces")) / F.greatest(F.col("n_words"), F.lit(1))
+    return joined.select(
+        F.col(id_col),
+        (
+            F.col("n_words").between(5, 100000).cast("int")
+            + (F.col("punct_ratio") < 0.2).cast("int")
+            + (en > 0).cast("int")
+            + mean_wl.between(2.0, 12.0).cast("int")
+        ).alias("quality"),
+        F.col("n_words"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-voting language guess (deterministic tie-break by
+    language code order via greatest-struct trick)."""
+    scored = df.select(
+        F.col(id_col),
+        *[
+            _stopword_hits(text_col, ws).alias(f"hits_{lang}")
+            for lang, ws in _STOPWORDS.items()
+        ],
+    )
+    # argmax with deterministic ties: pack (hits, reverse-alpha-rank) structs
+    langs = list(_STOPWORDS)
+    pick = F.greatest(
+        *[
+            F.struct(F.col(f"hits_{l}").alias("h"), F.lit(len(langs) - i).alias("r"), F.lit(l).alias("l"))
+            for i, l in enumerate(langs)
+        ]
+    )
+    return scored.select(id_col, pick.getField("l").alias("lang_pred"), pick.getField("h").alias("lang_hits"))
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens plus BPE-ish sub-splitting on punctuation
+    boundaries: tokens = words + punctuation marks counted separately."""
+    w = _WORDS.format(c=text_col)
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({w})").cast("long").alias("n_ws_tokens"),
+        (
+            F.expr(f"size({w})")
+            + F.length(F.regexp_replace(F.col(text_col), r"[^.,!?;:()\[\]]", ""))
+        ).cast("long").alias("n_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized text plus a
+    polynomial rolling hash over words (base 31, mod 2^61-1 avoided in
+    favor of native 64-bit wraparound — deterministic, order-sensitive)."""
+    w = _WORDS.format(c=text_col)
+    norm = f"array_join({w}, ' ')"
+    rolling = (
+        f"aggregate({w}, 0L, (acc, t) -> acc * 31L + xxhash64(t))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"md5(lower({norm}))").alias("fp_md5"),
+        F.expr(rolling).alias("fp_rolling"),
+    )

@@ -1,0 +1,78 @@
+"""The resumable tier-rollup job (SURVEY.md §3.2 entry point #1).
+
+One run = for each tier: process pending partition groups (sources with
+no committed checkpoint), write tier stats + payload tables with
+idempotent per-partition overwrite, record checkpoint/lineage/metrics.
+`fail_after_groups` injects a crash for the resume test (§5.5): a
+re-run must complete only the missing groups and yield a table
+identical to a single-shot run.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drought_t_spark.config import EngineConfig, DEFAULT
+from drought_t_spark.operators import rollup as R
+from drought_t_spark.ops import checkpoints as CP
+from drought_t_spark.sources.warehouse import Warehouse
+
+
+class InjectedFailure(RuntimeError):
+    pass
+
+
+def run_rollup_job(
+    spark: SparkSession,
+    wh: Warehouse,
+    seqs: DataFrame,
+    job_id: str,
+    cfg: EngineConfig = DEFAULT,
+    group_size: int = 2,
+    fail_after_groups: int | None = None,
+    with_payloads: bool = True,
+) -> None:
+    """Hour-tier rollup (stats + payloads) with checkpoint/resume, then
+    cascaded day/month tiers (single idempotent stage each)."""
+    t1 = R.with_event_time(seqs)
+    work = t1.select("source").distinct()
+    pend = CP.pending_partitions(spark, wh, job_id, "hour", work)
+    todo = sorted(r.source for r in pend.collect())
+    groups = [todo[i : i + group_size] for i in range(0, len(todo), group_size)]
+
+    for gi, group in enumerate(groups):
+        part = t1.where(F.col("source").isin(group))
+        stats = R.rollup_hour(part, cfg, salted=True)
+        wh.write_partitioned(stats, "agg.tier_hour", ["source"])
+        if with_payloads:
+            pay = R.pack_payloads(part, "hour", cfg)
+            wh.write_partitioned(pay, "agg.payload_hour", ["source"])
+        n_in = part.count()
+        n_out = stats.count()
+        tok = stats.agg(F.sum("n_tok_sum")).first()[0] or 0
+        CP.record_commit(
+            spark, wh, job_id, "hour", group,
+            snapshot_id=Warehouse.snapshot_token(stats, ["source", "bucket_start"]),
+            rows_in=n_in, rows_out=n_out,
+            metrics={"rolled_points": float(n_out), "tokens": float(tok)},
+        )
+        if fail_after_groups is not None and gi + 1 >= fail_after_groups:
+            raise InjectedFailure(f"injected crash after {gi + 1} groups")
+
+    # cascaded tiers — derived wholly from the committed hour tier; a
+    # full overwrite per run is idempotent by construction
+    hour = wh.read(spark, "agg.tier_hour")
+    for tier in ("day", "month"):
+        src = hour if tier == "day" else wh.read(spark, "agg.tier_day")
+        out = R.cascade(src, tier)
+        wh.write_partitioned(out, f"agg.tier_{tier}", ["source"])
+        CP.record_commit(
+            spark, wh, job_id, tier,
+            partition_ids=[r.source for r in out.select("source").distinct().collect()],
+            snapshot_id=Warehouse.snapshot_token(out, ["source", "bucket_start"]),
+            rows_in=src.count(), rows_out=out.count(),
+            metrics={"rolled_points": float(out.count())},
+        )

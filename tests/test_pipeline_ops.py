@@ -1,0 +1,127 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing (SURVEY.md §2 extensions)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from drought_t_spark.operators import similarity as SIM
+from drought_t_spark.operators import textstats as TS
+from drought_t_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from drought_t_spark.operators.multimodal import (
+    decode_image_features,
+    sample_frames,
+    synth_media,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_finds_planted_copies(spark, docs):
+    d = docs.select("doc_id", "text")
+    both = d.unionByName(d.select((F.col("doc_id") + 10_000).alias("doc_id"), "text"))
+    out = exact_dedup(both, ["text"], "doc_id")
+    assert out.count() == d.count()
+    assert out.where(F.col("n_copies") != 2).count() == 0
+    # keeper is deterministic: always the original id
+    assert out.where(F.col("keeper") >= 10_000).count() == 0
+
+
+def test_minhash_lsh_recovers_exact_copies(spark, docs):
+    d = docs.select("doc_id", "text").limit(60)
+    both = d.unionByName(d.select((F.col("doc_id") + 10_000).alias("doc_id"), "text"))
+    pairs = minhash_lsh_pairs(both, jaccard_threshold=0.99).toPandas()
+    ids = set(zip(pairs.id_a, pairs.id_b))
+    want = {(r.doc_id, r.doc_id + 10_000) for r in d.collect()}
+    assert want <= ids  # identical docs always collide in every band
+    assert (pairs.jaccard >= 0.99).all()
+
+
+def test_simhash_copies_distance_zero(spark, docs):
+    d = docs.select("doc_id", "text").limit(60)
+    both = d.unionByName(d.select((F.col("doc_id") + 10_000).alias("doc_id"), "text"))
+    pairs = simhash_near_pairs(both, max_hamming=0).toPandas()
+    want = {(r.doc_id, r.doc_id + 10_000) for r in d.collect()}
+    assert want <= set(zip(pairs.id_a, pairs.id_b))
+    # fingerprint is a pure function of text
+    sh = simhash(d).toPandas()
+    assert sh.simhash64.nunique() > 1
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    mat = np.stack(pdf.embedding.map(np.asarray)).astype(np.float64)
+    qv = mat[pdf.vec_id.tolist().index(0)]
+    scores = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = np.lexsort((pdf.vec_id.to_numpy(), -scores))
+    want = pdf.vec_id.to_numpy()[order][:10].tolist()
+    got = [r.vec_id for r in SIM.cosine_topk(emb, qv, k=10).collect()]
+    assert got == want
+
+
+def test_lsh_topk_subset_of_bucket(spark, emb):
+    qv = emb.where(F.col("vec_id") == 0).first().embedding
+    approx = SIM.cosine_topk_lsh(emb, qv, k=10, n_planes=4).toPandas()
+    assert 0 < len(approx) <= 10
+    assert 0 in approx.vec_id.tolist()  # query's own vector shares its bucket
+
+
+def test_embedding_near_dups_finds_self_copies(spark, emb):
+    e = emb.select("vec_id", "embedding").limit(50)
+    both = e.unionByName(e.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding"))
+    out = embedding_near_dups(both, threshold=0.999999).toPandas()
+    want = {(r.vec_id, r.vec_id + 10_000) for r in e.collect()}
+    assert want <= set(zip(out.id_a, out.id_b))
+
+
+def test_text_stats_and_quality(spark, docs):
+    stats = TS.text_stats(docs).toPandas()
+    base = docs.select("doc_id", "n_chars").toPandas().set_index("doc_id")
+    merged = stats.set_index("doc_id").join(base, rsuffix="_want")
+    np.testing.assert_array_equal(merged.n_chars.to_numpy(), merged.n_chars_want.to_numpy())
+    assert (stats.n_words > 0).all()
+    q = TS.quality_score(docs).toPandas()
+    assert q.quality.between(0, 4).all()
+
+
+def test_lang_id_majority_english(spark, docs):
+    out = TS.lang_id(docs).toPandas()
+    # synthetic corpus is tagged en; the stopword voter must agree broadly
+    assert (out.lang_pred == "en").mean() > 0.6
+
+
+def test_fingerprint_stable_under_whitespace(spark, docs):
+    d = docs.select("doc_id", "text")
+    d2 = d.withColumn("text", F.concat(F.col("text"), F.lit("  ")))
+    fp1 = TS.fingerprint(d).toPandas().set_index("doc_id")
+    fp2 = TS.fingerprint(d2).toPandas().set_index("doc_id")
+    assert (fp1.fp_md5 == fp2.fp_md5).all()
+    assert (fp1.fp_rolling == fp2.fp_rolling).all()
+
+
+def test_multimodal_stub_plumbing(spark, docs):
+    media = synth_media(docs)
+    feats = decode_image_features(media).toPandas()
+    assert len(feats) == docs.count()
+    assert (feats.features.map(len) == 16).all()
+    np.testing.assert_allclose(feats.features.map(sum).to_numpy(), 1.0, rtol=1e-9)
+    frames = sample_frames(media, n_frames=4)
+    assert frames.groupBy("media_id").count().where("count != 4").count() == 0
+    with pytest.raises(NotImplementedError):
+        decode_image_features(media, real_decode=True)

@@ -1,0 +1,111 @@
+"""Tier rollup + payload invariants (SURVEY.md §5.3; FIXTURES.md §F5).
+
+- distributed generator == local generator (determinism)
+- salted two-phase rollup == plain rollup (exactness under salting)
+- tier cascade consistency: sum(hour.n_tok_sum) per day == day.n_tok_sum
+- payload: payload_n_tokens == Σ n_tok; decoded payload == seq-ordered
+  concat of member tokens; day payloads cascaded from hour payloads ==
+  day payloads packed from raw
+- stats rollup plan never scans the `tokens` column (column pruning)
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from drought_t_spark import synth
+from drought_t_spark.codec import tsz1
+from drought_t_spark.config import EngineConfig
+from drought_t_spark.operators import rollup as R
+from drought_t_spark.operators.gapfill import missing_buckets
+from drought_t_spark.plans.drought import rollup_tiers
+
+CFG = EngineConfig(salt_buckets=4)
+
+
+@pytest.fixture(scope="module")
+def seqs(spark):
+    return R.with_event_time(synth.sequences_df(spark, n_sources=4, n_total=6000)).cache()
+
+
+def test_distributed_generator_matches_local(spark, seqs):
+    got = seqs.select("doc_id", "n_tok", "source").orderBy("doc_id").toPandas()
+    want = synth.sequences_pdf(n_sources=4, n_total=6000).sort_values("doc_id")
+    assert list(got.doc_id) == list(want.doc_id)
+    np.testing.assert_array_equal(got.n_tok.to_numpy(), want.n_tok.to_numpy())
+
+
+def test_salted_equals_plain(spark, seqs):
+    plain = R.rollup_hour(seqs, CFG, salted=False)
+    salted = R.rollup_hour(seqs, CFG, salted=True)
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_tier_cascade_consistency(spark, seqs):
+    tiers = rollup_tiers(seqs.drop("seq", "ts").select("doc_id", "tokens", "n_tok", "source"), CFG)
+    hour, day, month = tiers["hour"], tiers["day"], tiers["month"]
+    re_day = (
+        hour.groupBy("source", F.date_trunc("day", "bucket_start").alias("bucket_start"))
+        .agg(F.sum("n_tok_sum").alias("s"))
+    )
+    diff = (
+        re_day.join(day, ["source", "bucket_start"])
+        .where(F.col("s") != F.col("n_tok_sum"))
+        .count()
+    )
+    assert diff == 0
+    assert month.agg(F.sum("n_tok_sum")).first()[0] == hour.agg(F.sum("n_tok_sum")).first()[0]
+    # gap-filled buckets never contribute tokens
+    assert day.where(F.col("gap_filled")).count() == 0
+
+
+def test_payload_roundtrip_and_invariants(spark, seqs):
+    pay = R.pack_payloads(seqs, "hour", CFG)
+    stats = R.rollup_hour(seqs, CFG)
+    joined = pay.join(stats, ["source", "bucket_start"]).select(
+        "source", "bucket_start", "payload", "payload_n_tokens", "n_tok_sum"
+    )
+    rows = joined.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.payload_n_tokens == r.n_tok_sum
+        toks = tsz1.decode_tokens(r.payload)
+        assert len(toks) == r.payload_n_tokens
+    # spot-check exact token equality for the heaviest bucket
+    heavy = joined.orderBy(F.desc("payload_n_tokens")).first()
+    member = (
+        seqs.where(
+            (F.col("source") == heavy.source)
+            & (F.date_trunc("hour", "ts") == heavy.bucket_start)
+        )
+        .orderBy("seq")
+        .select("tokens")
+        .toPandas()
+    )
+    want = np.concatenate([np.asarray(t, np.int32) for t in member.tokens])
+    np.testing.assert_array_equal(tsz1.decode_tokens(heavy.payload), want)
+
+
+def test_payload_cascade_equals_from_raw(spark, seqs):
+    hour_pay = R.pack_payloads(seqs, "hour", CFG)
+    day_from_hour = R.cascade_payloads(hour_pay, "day", CFG)
+    day_from_raw = R.pack_payloads(seqs, "day", CFG, chunk_minutes=1440)
+    a = day_from_hour.select("source", "bucket_start", "payload_crc32", "payload_n_tokens")
+    b = day_from_raw.select("source", "bucket_start", "payload_crc32", "payload_n_tokens")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_gap_injection_creates_missing_buckets(spark, seqs):
+    stats = R.rollup_hour(seqs, CFG)
+    assert missing_buckets(stats, "hour").count() > 0
+
+
+def test_stats_plan_prunes_tokens_column(spark, seqs, tmp_path):
+    # via parquet (pruning is visible in the scan's ReadSchema)
+    p = str(tmp_path / "seqs")
+    seqs.select("doc_id", "tokens", "n_tok", "source").write.parquet(p)
+    df = R.rollup_hour(R.with_event_time(spark.read.parquet(p)), CFG)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    schemas = [l.split("ReadSchema:", 1)[1] for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas and all("tokens" not in s for s in schemas), plan
