@@ -226,13 +226,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.percentile(F.round("avg_raw", 6), F.lit(0.5)), 6).alias("x0")
         )
         j = filled.join(F.broadcast(th), "source")
-        defc = F.greatest(F.coalesce(F.col("x0") - F.col("value"), F.lit(0.0)), F.lit(0.0))
+        # deficit in integer micro-units: the running sum is then exact
+        # under ANY accumulation order (DuckDB windows aggregate pairwise)
+        defc = F.round(
+            F.greatest(F.coalesce(F.col("x0") - F.col("value"), F.lit(0.0)), F.lit(0.0))
+            * 1e6, 0
+        ).cast("long")
         w = Window.partitionBy("source").orderBy("bucket_start").rowsBetween(
             Window.unboundedPreceding, 0
         )
         return j.select(
             F.col("source").alias("event_type"), "bucket_start",
-            F.round(F.sum(defc).over(w), 3).alias("cum_deficit"),
+            F.sum(defc).over(w).cast("long").alias("cum_deficit_micro"),
         )
     q["cumulative_deficit"] = cumulative_deficit
 
@@ -585,9 +590,10 @@ def oracle_sql() -> dict[str, str]:
                   round(CAST(quantile_cont(round(avg_raw, 6), 0.5) AS DOUBLE), 6) AS x0
            FROM b GROUP BY 1)
     SELECT s.event_type, s.bucket_start,
-           round(sum(greatest(coalesce(th.x0 - round(s.avg_raw, 6), 0.0), 0.0)) OVER (
+           CAST(sum(CAST(round(greatest(coalesce(th.x0 - round(s.avg_raw, 6), 0.0), 0.0)
+                    * 1000000.0, 0) AS BIGINT)) OVER (
                PARTITION BY s.event_type ORDER BY s.bucket_start
-               ROWS UNBOUNDED PRECEDING), 3) AS cum_deficit
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_deficit_micro
     FROM s JOIN th ON s.event_type = th.event_type
     """
 
