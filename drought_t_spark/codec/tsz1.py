@@ -31,9 +31,12 @@ CRC corruption raises CodecError.
 from __future__ import annotations
 
 import struct
+import sys
 import zlib
 
 import numpy as np
+
+assert sys.byteorder == "little", "TSZ1 byte-matrix packing assumes little-endian"
 
 MAGIC = b"TSZ1"
 VERSION = 1
@@ -41,7 +44,9 @@ VT_INT = 1
 VT_FLOAT = 2
 
 _U32 = np.uint64(0xFFFFFFFF)
-_WIDTHS = np.array([0, 1, 2, 4], dtype=np.int64)
+_WIDTHS = np.array([0, 1, 2, 4], dtype=np.uint8)
+_BYTE_IDX4 = np.arange(4, dtype=np.uint8)[None, :]
+_BYTE_IDX8 = np.arange(8, dtype=np.uint8)[None, :]
 
 
 class CodecError(ValueError):
@@ -50,11 +55,6 @@ class CodecError(ValueError):
 
 # ------------------------------------------------------------- int32 --
 
-
-def _zigzag32(x: np.ndarray) -> np.ndarray:
-    """int32 -> uint32 zigzag."""
-    xi = x.astype(np.int32)
-    return ((xi.astype(np.uint32) << np.uint32(1)) ^ (xi >> np.int32(31)).astype(np.uint32))
 
 
 def _unzigzag32(z: np.ndarray) -> np.ndarray:
@@ -81,55 +81,37 @@ def _unpack_classes(buf: np.ndarray, n: int) -> np.ndarray:
     return out.reshape(-1)[:n]
 
 
-def _scatter_payload(zz: np.ndarray, widths: np.ndarray) -> bytes:
-    """Write `widths[i]` little-endian bytes of zz[i] at packed offsets."""
-    offs = np.concatenate([[0], np.cumsum(widths)[:-1]]) if len(widths) else np.array([], np.int64)
-    total = int(widths.sum())
-    buf = np.zeros(total, np.uint8)
-    z = zz.astype(np.uint64)
-    for k in range(4):
-        m = widths > k
-        if not m.any():
-            break
-        buf[offs[m] + k] = ((z[m] >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(np.uint8)
-    return buf.tobytes()
-
-
-def _gather_payload(buf: np.ndarray, widths: np.ndarray, max_w: int = 4) -> np.ndarray:
-    offs = np.concatenate([[0], np.cumsum(widths)[:-1]]) if len(widths) else np.array([], np.int64)
-    z = np.zeros(len(widths), np.uint64)
-    for k in range(max_w):
-        m = widths > k
-        if not m.any():
-            break
-        z[m] |= buf[offs[m] + k].astype(np.uint64) << np.uint64(8 * k)
-    return z
 
 
 def encode_tokens(values) -> bytes:
-    """array-like of int32 -> TSZ1 bytes (vtype=1)."""
-    v = np.asarray(values, dtype=np.int32)
+    """array-like of int32 -> TSZ1 bytes (vtype=1).
+
+    All delta arithmetic is int32 with two's-complement wraparound —
+    exact because the decoder reconstructs mod 2^32. The payload is
+    emitted with ONE boolean-mask selection over the (n,4) little-endian
+    byte matrix of the zigzag codes (no per-class scatter passes)."""
+    v = np.ascontiguousarray(values, dtype=np.int32)
     n = len(v)
     body = bytearray()
     body += struct.pack("<BBQ", VERSION, VT_INT, n)
     if n >= 1:
         body += struct.pack("<i", int(v[0]))
     if n >= 2:
-        d = np.diff(v.astype(np.int64))
-        body += struct.pack("<q", int(d[0]))
+        with np.errstate(over="ignore"):
+            d32 = np.subtract(v[1:], v[:-1])            # int32, wraps
+        body += struct.pack("<q", int(v[1]) - int(v[0]))  # true first delta
         if n >= 3:
-            dod = np.diff(d)
-            # wrap mod 2^32 → int32: exact under mod-2^32 reconstruction
-            dodw = dod.astype(np.uint64) & _U32
-            dod32 = dodw.astype(np.uint32).view(np.int32)
-            zz = _zigzag32(dod32)
+            with np.errstate(over="ignore"):
+                dod32 = np.subtract(d32[1:], d32[:-1])  # int32, wraps
+                zz = ((dod32 << np.int32(1)) ^ (dod32 >> np.int32(31))).view(np.uint32)
             cls = np.zeros(len(zz), np.uint8)
             cls[zz > 0] = 1
             cls[zz >= (1 << 8)] = 2
             cls[zz >= (1 << 16)] = 3
-            widths = _WIDTHS[cls]
             body += _pack_classes(cls)
-            body += _scatter_payload(zz, widths)
+            bmat = zz.view(np.uint8).reshape(-1, 4)     # little-endian bytes
+            mask = _BYTE_IDX4 < _WIDTHS[cls][:, None]
+            body += bmat[mask].tobytes()
     out = MAGIC + bytes(body)
     return out + struct.pack("<I", zlib.crc32(out))
 
@@ -160,20 +142,23 @@ def decode_tokens(blob: bytes | bytearray | memoryview) -> np.ndarray:
         cls = _unpack_classes(np.frombuffer(b, np.uint8, nclsb, off), m)
         off += nclsb
         widths = _WIDTHS[cls]
-        total = int(widths.sum())
-        zz = _gather_payload(np.frombuffer(b, np.uint8, total, off), widths)
-        dods = _unzigzag32(zz.astype(np.uint32))
-    # reconstruct mod 2^32 (uint64 cumsum wraps mod 2^64 ⊇ mod 2^32)
-    d = np.empty(int(n) - 1, np.uint64)
-    d[0] = np.uint64(d0 & 0xFFFFFFFF)
-    if len(dods):
-        d[1:] = dods.astype(np.int64).astype(np.uint64) & _U32
-        d = np.cumsum(d, dtype=np.uint64)
-    v = np.empty(int(n), np.uint64)
-    v[0] = np.uint64(v0 & 0xFFFFFFFF)
+        total = int(widths.sum(dtype=np.int64))
+        bmat = np.zeros((m, 4), np.uint8)
+        bmat[_BYTE_IDX4 < widths[:, None]] = np.frombuffer(b, np.uint8, total, off)
+        dods = _unzigzag32(bmat.view(np.uint32).ravel())
+    # reconstruct mod 2^32: int32 cumsum wraps two's-complement — exact
+    d = np.empty(int(n) - 1, np.int32)
+    d0w = d0 & 0xFFFFFFFF
+    if d0w >= 1 << 31:
+        d0w -= 1 << 32
+    d[0] = d0w
+    d[1:] = dods
+    np.cumsum(d, dtype=np.int32, out=d)
+    v = np.empty(int(n), np.int32)
+    v[0] = v0
     v[1:] = d
-    v = np.cumsum(v, dtype=np.uint64) & _U32
-    return v.astype(np.uint32).view(np.int32)
+    np.cumsum(v, dtype=np.int32, out=v)
+    return v
 
 
 # ----------------------------------------------------------- float64 --
@@ -189,30 +174,16 @@ def encode_floats(values) -> bytes:
         body += struct.pack("<Q", int(v[:1].view(np.uint64)[0]))
     if n >= 2:
         bits = v.view(np.uint64)
-        x = bits[1:] ^ bits[:-1]
-        # significant bytes after stripping high-order zero bytes
-        sig = np.zeros(len(x), np.uint8)
-        nz = x != 0
-        if nz.any():
-            # highest nonzero byte index + 1 == 8 - (clz(x)//8)
-            hi = np.zeros(len(x), np.int64)
-            xv = x.copy()
-            for k in (32, 16, 8):
-                m = nz & (xv >= (np.uint64(1) << np.uint64(k)))
-                hi[m] += k
-                xv[m] >>= np.uint64(k)
-            sig[nz] = (hi[nz] // 8 + 1).astype(np.uint8)
+        x = np.ascontiguousarray(bits[1:] ^ bits[:-1])
+        # significant bytes after stripping high-order zero bytes:
+        # sig = index of highest nonzero byte + 1 (0 when x == 0)
+        bmat = x.view(np.uint8).reshape(-1, 8)          # little-endian
+        sig = 8 - np.argmax(bmat[:, ::-1] != 0, axis=1).astype(np.uint8)
+        sig[x == 0] = 0
         pad = (-len(sig)) % 2
         s2 = np.concatenate([sig, np.zeros(pad, np.uint8)]).reshape(-1, 2)
         body += (s2[:, 0] | (s2[:, 1] << 4)).tobytes()
-        offs = np.concatenate([[0], np.cumsum(sig.astype(np.int64))[:-1]])
-        buf = np.zeros(int(sig.sum()), np.uint8)
-        for k in range(8):
-            m = sig > k
-            if not m.any():
-                break
-            buf[offs[m] + k] = ((x[m] >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(np.uint8)
-        body += buf.tobytes()
+        body += bmat[_BYTE_IDX8 < sig[:, None]].tobytes()
     out = MAGIC + bytes(body)
     return out + struct.pack("<I", zlib.crc32(out))
 
@@ -240,10 +211,12 @@ def decode_floats(blob) -> np.ndarray:
         sig = np.empty((nnib, 2), np.uint8)
         sig[:, 0] = nb & 0x0F
         sig[:, 1] = nb >> 4
-        sig = sig.reshape(-1)[:m].astype(np.int64)
+        sig = sig.reshape(-1)[:m]
         off += nnib
-        total = int(sig.sum())
-        x = _gather_payload(np.frombuffer(b, np.uint8, total, off), sig, max_w=8)
+        total = int(sig.sum(dtype=np.int64))
+        bmat = np.zeros((m, 8), np.uint8)
+        bmat[_BYTE_IDX8 < sig[:, None]] = np.frombuffer(b, np.uint8, total, off)
+        x = bmat.view(np.uint64).ravel()
         # XOR-prefix scan: bits[i] = b0 ^ x[1] ^ ... ^ x[i]
         acc = np.bitwise_xor.accumulate(np.concatenate([[np.uint64(b0)], x]))
         out = acc

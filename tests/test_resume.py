@@ -1,0 +1,72 @@
+"""Checkpoint/resume (SURVEY.md §5.5; BASELINE.json:14): kill the
+rollup job mid-run, re-run, assert no duplicate buckets and a final
+table identical to a single-shot run; lineage/metrics recorded."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from drought_t_spark import synth
+from drought_t_spark.config import EngineConfig
+from drought_t_spark.ops import checkpoints as CP
+from drought_t_spark.plans.rollup_job import InjectedFailure, run_rollup_job
+from drought_t_spark.sources.warehouse import Warehouse
+
+CFG = EngineConfig(salt_buckets=4)
+
+
+@pytest.fixture(scope="module")
+def seqs(spark):
+    return synth.sequences_df(spark, n_sources=6, n_total=4000).cache()
+
+
+def _tier_key(df):
+    return df.select("source", "bucket_start", "n_seq", "n_tok_sum")
+
+
+def test_crash_resume_identical_to_single_shot(spark, seqs, tmp_path):
+    wh1 = Warehouse(str(tmp_path / "wh_single"))
+    run_rollup_job(spark, wh1, seqs, "job1", CFG, group_size=2, with_payloads=False)
+    single = _tier_key(wh1.read(spark, "agg.tier_hour")).toPandas()
+
+    wh2 = Warehouse(str(tmp_path / "wh_crashed"))
+    with pytest.raises(InjectedFailure):
+        run_rollup_job(spark, wh2, seqs, "job1", CFG, group_size=2,
+                       fail_after_groups=1, with_payloads=False)
+    # partial state: some sources committed, not all
+    committed = CP.committed_partitions(spark, wh2, "job1", "hour").count()
+    assert 0 < committed < 6
+
+    run_rollup_job(spark, wh2, seqs, "job1", CFG, group_size=2, with_payloads=False)
+    resumed = _tier_key(wh2.read(spark, "agg.tier_hour")).toPandas()
+
+    key = ["source", "bucket_start"]
+    a = single.sort_values(key).reset_index(drop=True)
+    b = resumed.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    # no duplicate buckets
+    assert resumed.duplicated(subset=key).sum() == 0
+    # day/month tiers exist and are consistent
+    day = wh2.read(spark, "agg.tier_day")
+    assert day.agg(F.sum("n_tok_sum")).first()[0] == b.n_tok_sum.sum()
+
+
+def test_resume_skips_committed_work(spark, seqs, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh_skip"))
+    run_rollup_job(spark, wh, seqs, "jobX", CFG, group_size=3, with_payloads=False)
+    work = seqs.select("source").distinct()
+    pend = CP.pending_partitions(spark, wh, "jobX", "hour", work)
+    assert pend.count() == 0  # everything committed → nothing pending
+
+
+def test_lineage_and_metrics_written(spark, seqs, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh_ops"))
+    run_rollup_job(spark, wh, seqs, "jobL", CFG, group_size=2, with_payloads=False)
+    ln = wh.read(spark, CP.LINEAGE_TBL).toPandas()
+    mt = wh.read(spark, CP.METRICS_TBL).toPandas()
+    assert (ln.rows_in > 0).all() and (ln.rows_out > 0).all()
+    assert ln.stage.isin(["hour", "day", "month"]).all()
+    assert {"rolled_points", "tokens"} <= set(mt.name)
+    # rolled_points metric sums to the hour-tier row count
+    hour_rows = wh.read(spark, "agg.tier_hour").count()
+    got = mt[(mt.stage == "hour") & (mt.name == "rolled_points")].value.sum()
+    assert int(got) == hour_rows
