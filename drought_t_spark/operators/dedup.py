@@ -40,14 +40,40 @@ def shingles(text_col: str, k: int = 3):
 
 
 def minhash_signature(shingle_col: str, n_hashes: int = 32):
-    """Array of n_hashes minima of seeded xxhash64 over the shingles."""
-    return F.array(
-        *[
-            F.array_min(
-                F.expr(f"transform({shingle_col}, s -> xxhash64(s, {seed}))")
-            )
-            for seed in range(n_hashes)
-        ]
+    """Array of n_hashes minima of seeded xxhash64 over the shingles.
+
+    Built as ONE transform over the seed range so `shingle_col` appears
+    exactly once — n_hashes separate array_min() expressions would let
+    CollapseProject inline (= re-evaluate) the shingle computation once
+    per hash function."""
+    return F.expr(
+        f"transform(sequence(0, {n_hashes - 1}),"
+        f" i -> array_min(transform({shingle_col}, s -> xxhash64(s, i))))"
+    )
+
+
+def minhash_band_keys(text_col: str, k: int = 3, n_hashes: int = 32, bands: int = 8):
+    """array<bigint> of LSH band keys, computed in a single expression.
+
+    Uses the `transform(array(x), v -> body)[0]` let-binding idiom twice
+    (for the shingle set and the signature) so each is evaluated exactly
+    once per row — Catalyst has no common-subexpression elimination
+    across lambda-free duplicated sub-trees, and per-row re-evaluation
+    of the shingle/signature arrays is what turns an O(len·hashes) row
+    into an O(len·hashes·bands) one."""
+    rows = n_hashes // bands
+    sh = (
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> substring({text_col}, i, {k})))"
+    )
+    return F.expr(
+        f"transform(array({sh}), sh -> "
+        f"  transform(array(transform(sequence(0, {n_hashes - 1}),"
+        f"      i -> array_min(transform(sh, s -> xxhash64(s, i))))), sig -> "
+        f"    transform(sequence(0, {bands - 1}),"
+        f"      b -> xxhash64(slice(sig, b * {rows} + 1, {rows})))"
+        f"  )[0]"
+        f")[0]"
     )
 
 
@@ -57,48 +83,49 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     k: int = 3,
     n_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 4,
     jaccard_threshold: float = 0.7,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, verified with exact
-    Jaccard on the shingle sets. Returns (id_a, id_b, jaccard)."""
-    rows = n_hashes // bands
-    sig = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-        .withColumn("sh", shingles("text", k))
-        .withColumn("sig", minhash_signature("sh", n_hashes))
-    )
-    banded = sig.select(
-        "id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.slice("sig", b * rows + 1, rows)).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "sh", "bk.band", "bk.bkey")
+    Jaccard on the shingle sets. Returns (id_a, id_b, jaccard).
+
+    Defaults give 4 bands × 8 rows: collision prob at jaccard j is
+    1-(1-j^8)^4 — ≈1 for copies, ~2% at j=0.5 — so the candidate set
+    (and the O(pairs · shingles) verify) stays near the true-dup count.
+    `max_bucket` drops degenerate band buckets (> max_bucket members,
+    i.e. >max_bucket²/2 pairs): giant clusters are boilerplate already
+    caught by exact dedup, and the cap bounds the worst skewed reducer."""
+    rows_per_band = n_hashes // bands
+    assert rows_per_band * bands == n_hashes
+    # Band rows carry ONLY (id, band, bkey) — never the shingle arrays.
+    # The band shuffle is then 3 scalar columns wide; the (wide) shingle
+    # sets rejoin only for the few candidate pairs that collide. At 100TB
+    # this is the difference between shuffling bytes and shuffling docs.
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    banded = base.select(
+        "id", minhash_band_keys("text", k, n_hashes, bands).alias("bkeys")
+    ).select("id", F.posexplode("bkeys").alias("band", "bkey"))
+    sz = Window.partitionBy("band", "bkey")
+    banded = banded.withColumn("bsz", F.count("*").over(sz)).where(
+        F.col("bsz") <= max_bucket
+    ).drop("bsz")
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bkey"])
         .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    jac = cand.withColumn(
-        "jaccard",
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
+    sh_tbl = base.select("id", shingles("text", k).alias("sh"))
+    jac = (
+        cand.join(sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
     )
     return jac.where(F.col("jaccard") >= jaccard_threshold).select(
         "id_a", "id_b", "jaccard"
@@ -107,20 +134,19 @@ def minhash_lsh_pairs(
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over whitespace words: bit b of the fingerprint is
-    1 iff Σ_words (±1 per word-hash bit b) > 0. One aggregate expression
-    per doc — O(words · 64) JVM work, zero Python."""
+    1 iff Σ_words (±1 per word-hash bit b) > 0. ONE aggregate per doc —
+    the bit-vector fold runs once and the `finish` lambda packs it to an
+    int64 (embedding the fold inside a per-bit expression would
+    re-evaluate it 64× per row). O(words · 64) JVM work, zero Python."""
     words = f"filter(split({text_col}, ' +'), w -> w <> '')"
-    acc = (
-        "aggregate("
-        f"  {words},"
-        "  array_repeat(0L, 64),"
-        "  (acc, w) -> zip_with(acc, transform(sequence(0, 63),"
-        "      b -> CASE WHEN (shiftright(xxhash64(w), b) & 1) = 1 THEN 1L ELSE -1L END),"
-        "      (x, y) -> x + y))"
-    )
     bits = (
-        f"aggregate(transform(sequence(0, 63), b -> CASE WHEN element_at({acc}, b + 1) > 0"
-        "   THEN shiftleft(1L, b) ELSE 0L END), 0L, (x, y) -> x | y)"
+        "aggregate("
+        f"  transform({words}, w -> xxhash64(w)),"
+        "  array_repeat(0L, 64),"
+        "  (acc, h) -> zip_with(acc, sequence(0, 63),"
+        "      (c, b) -> c + IF((shiftright(h, b) & 1) = 1, 1L, -1L)),"
+        "  acc -> aggregate(zip_with(acc, sequence(0, 63),"
+        "      (c, b) -> IF(c > 0, shiftleft(1L, b), 0L)), 0L, (x, y) -> x | y))"
     )
     return df.select(
         F.col(id_col).alias("id"), F.expr(bits).alias("simhash64")

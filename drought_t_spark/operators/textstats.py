@@ -102,12 +102,14 @@ def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalized text plus a
-    polynomial rolling hash over words (base 31, mod 2^61-1 avoided in
-    favor of native 64-bit wraparound — deterministic, order-sensitive)."""
+    polynomial rolling hash over words (base 31 mod 2^31-1, per-word hash
+    reduced mod 1e9+7 first so `acc*31 + h < 2^37` never overflows int64
+    even under ANSI mode — deterministic, order-sensitive)."""
     w = _WORDS.format(c=text_col)
     norm = f"array_join({w}, ' ')"
     rolling = (
-        f"aggregate({w}, 0L, (acc, t) -> acc * 31L + xxhash64(t))"
+        f"aggregate({w}, 0L, (acc, t) -> "
+        f"pmod(acc * 31L + pmod(xxhash64(t), 1000000007L), 2147483647L))"
     )
     return df.select(
         F.col(id_col),
