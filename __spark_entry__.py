@@ -38,6 +38,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scaled(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scale-out for CPU-bound per-row operators: the sf* tables are
+    single small parquet files, so Spark reads them as ONE partition and
+    interpreted-lambda work (shingling, minhash, stopword voting) runs
+    single-threaded. A real production table arrives in many files; this
+    repartition recreates that so the op uses every core. The shuffle
+    moves only the tiny input, never the derived arrays."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _hour_stats(spark, sf_dir) -> DataFrame:
     """Observed hourly buckets of the events table (event_type plays the
     role of source): n, sum, avg of `value` — the AG1 shape."""
@@ -241,6 +251,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["cumulative_deficit"] = cumulative_deficit
 
+    # --- frequency reporting (FR1/AG5) ---
+    def frequency_yearly(spark, sf_dir):
+        from drought_t_spark.operators.frequency import frequency
+
+        tier = _daily_series(spark, sf_dir)
+        ev = drought_events_for_tier(tier, "day", _RUNS_CFG)
+        return frequency(ev).select(
+            F.col("source").alias("event_type"),
+            F.col("year").cast("int").alias("year"),
+            "n_events",
+            F.round("mean_duration", 6).alias("mean_duration"),
+            F.round("max_severity", 3).alias("max_severity"),
+        )
+    q["frequency_yearly"] = frequency_yearly
+
+    # --- event–bucket interval join (J6) ---
+    def interval_join(spark, sf_dir):
+        tier = _daily_series(spark, sf_dir).alias("b")
+        ev = (
+            drought_events_for_tier(_daily_series(spark, sf_dir), "day", _RUNS_CFG)
+            .select("source", "onset", "termination")
+            .alias("e")
+        )
+        j = tier.join(
+            F.broadcast(ev),
+            (F.col("b.source") == F.col("e.source"))
+            & (F.col("b.bucket_start") >= F.col("e.onset"))
+            & (F.col("b.bucket_start") <= F.col("e.termination")),
+        )
+        return j.groupBy(
+            F.col("b.source").alias("event_type"), F.col("e.onset").alias("onset")
+        ).agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.round(F.sum("b.value"), 3).alias("sum_value"),
+        )
+    q["interval_join"] = interval_join
+
+    # --- time-keyed range frame (W7) ---
+    def ma_rangebetween(spark, sf_dir):
+        h = _hour_stats(spark, sf_dir)
+        w = (
+            Window.partitionBy("source")
+            .orderBy(F.col("bucket_start").cast("long"))
+            .rangeBetween(-3 * 3600, 0)
+        )
+        return h.select(
+            F.col("source").alias("event_type"), "bucket_start",
+            F.round(F.avg("avg_raw").over(w), 6).alias("x_ma_range"),
+        )
+    q["ma_rangebetween"] = ma_rangebetween
+
+    # --- tier union (SE1) ---
+    def union_tiers(spark, sf_dir):
+        h = _hour_stats(spark, sf_dir)
+        d = h.groupBy(
+            "source", F.date_trunc("day", "bucket_start").alias("bucket_start")
+        ).agg(F.sum("n_rows").alias("n_rows"))
+        u = h.select("source", "bucket_start", "n_rows").withColumn(
+            "tier", F.lit("hour")
+        ).unionByName(d.withColumn("tier", F.lit("day")))
+        return u.groupBy(F.col("source").alias("event_type"), "tier").agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+        )
+    q["union_tiers"] = union_tiers
+
     # --- ranking / top-k (W4/SO2) ---
     def topk_per_group(spark, sf_dir):
         ev = _t(spark, sf_dir, "events")
@@ -351,7 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = dedup_exact
 
     def fingerprint_docs(spark, sf_dir):
-        d = _t(spark, sf_dir, "documents")
+        d = _scaled(spark, _t(spark, sf_dir, "documents"))
         return TS.fingerprint(d).select("doc_id", "fp_md5")
     q["fingerprint_docs"] = fingerprint_docs
 
@@ -360,7 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_stats"] = text_stats
 
     def lang_id(spark, sf_dir):
-        return TS.lang_id(_t(spark, sf_dir, "documents")).select(
+        return TS.lang_id(_scaled(spark, _t(spark, sf_dir, "documents"))).select(
             "doc_id", "lang_pred", F.col("lang_hits").cast("int").alias("lang_hits")
         )
     q["lang_id"] = lang_id
@@ -385,7 +461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- rows-only (non-SQL-expressible / approximate / stubs) ---
     def _docs_with_copies(spark, sf_dir):
         d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-        return d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+        both = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+        return _scaled(spark, both)
 
     def minhash_pairs(spark, sf_dir):
         return minhash_lsh_pairs(_docs_with_copies(spark, sf_dir), jaccard_threshold=0.99).select(
@@ -595,6 +672,50 @@ def oracle_sql() -> dict[str, str]:
                PARTITION BY s.event_type ORDER BY s.bucket_start
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_deficit_micro
     FROM s JOIN th ON s.event_type = th.event_type
+    """
+
+    o["frequency_yearly"] = f"""
+    WITH {_runs_core}
+    SELECT event_type, CAST(year(onset) AS INTEGER) AS year,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(duration), 6) AS mean_duration,
+           round(max(sev_raw), 3) AS max_severity
+    FROM ev GROUP BY 1, 2
+    """
+
+    o["interval_join"] = f"""
+    WITH {_runs_core}
+    SELECT b.event_type, ev.onset,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           round(sum(b.v), 3) AS sum_value
+    FROM b JOIN ev ON b.event_type = ev.event_type
+                  AND b.d BETWEEN ev.onset AND ev.termination
+    GROUP BY 1, 2
+    """
+
+    o["ma_rangebetween"] = """
+    SELECT event_type, bucket_start,
+           round(avg(avg_raw) OVER (
+               PARTITION BY event_type ORDER BY epoch(bucket_start)
+               RANGE BETWEEN 10800 PRECEDING AND CURRENT ROW), 6) AS x_ma_range
+    FROM (SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                 avg(value) AS avg_raw
+          FROM events GROUP BY 1, 2) b
+    """
+
+    o["union_tiers"] = """
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                      CAST(count(*) AS BIGINT) AS n_rows
+               FROM events GROUP BY 1, 2),
+    d AS (SELECT event_type, date_trunc('day', bucket_start) AS bucket_start,
+                 CAST(sum(n_rows) AS BIGINT) AS n_rows
+          FROM h GROUP BY 1, 2),
+    u AS (SELECT event_type, bucket_start, n_rows, 'hour' AS tier FROM h
+          UNION ALL
+          SELECT event_type, bucket_start, n_rows, 'day' AS tier FROM d)
+    SELECT event_type, tier, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows
+    FROM u GROUP BY 1, 2
     """
 
     o["topk_per_group"] = """

@@ -87,16 +87,24 @@ def token_scale(sf: float) -> tuple[int, int]:
 
 
 def run_token_job(spark, sf: float) -> dict:
-    """Synth T0 -> hour rollup (salted) -> day/month cascade + payload
-    pack; returns wall seconds and the throughput counters."""
+    """Synth T0 (written to parquet once, untimed — generation is not
+    the engine) -> hour rollup (salted) -> day/month cascade + payload
+    pack; returns wall seconds and the throughput counters. Reading the
+    table from parquet lets the stats pass column-prune `tokens` exactly
+    as it would against the real Iceberg table."""
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from drought_t_spark import synth
     from drought_t_spark.operators import rollup as R
 
     n_sources, n_total = token_scale(sf)
-    seqs = synth.sequences_df(spark, n_sources=n_sources, n_total=n_total)
-    t1 = R.with_event_time(seqs)
+    tmp = tempfile.mkdtemp(prefix="bench_t0_")
+    synth.sequences_df(spark, n_sources=n_sources, n_total=n_total).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    t1 = R.with_event_time(spark.read.parquet(tmp))
 
     t0 = time.time()
     hour = R.rollup_hour(t1, salted=True)
@@ -119,6 +127,10 @@ def run_token_job(spark, sf: float) -> dict:
         F.sum(F.length("payload")).alias("bytes"),
     ).first()
     t_pay = time.time() - t0
+
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
 
     # 3 tiers of rolled-up points; tokens counted once per tier they
     # roll into (hour+day+month = 3x raw) for the points metric, but

@@ -77,35 +77,77 @@ def minhash_band_keys(text_col: str, k: int = 3, n_hashes: int = 32, bands: int 
     )
 
 
+def auto_bands(n_hashes: int, threshold: float, target_recall: float = 0.85) -> int:
+    """Smallest band count (= tightest selectivity) whose expected
+    recall 1-(1-t^r)^b at the threshold still meets target_recall.
+    Looser banding than needed floods the verify stage with candidate
+    pairs — at sf0.1 the difference is 1.5M candidates vs ~10k."""
+    for b in (1, 2, 4, 8, 16, 32):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        if 1 - (1 - threshold**r) ** b >= target_recall:
+            return b
+    return 32
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     n_hashes: int = 32,
-    bands: int = 4,
+    bands: int | None = None,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 256,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash LSH, verified with exact
-    Jaccard on the shingle sets. Returns (id_a, id_b, jaccard).
+    """Near-duplicate pairs via MinHash LSH: banding tuned to the
+    threshold, signature-estimate prefilter, exact Jaccard verify.
+    Returns (id_a, id_b, jaccard).
 
-    Defaults give 4 bands × 8 rows: collision prob at jaccard j is
-    1-(1-j^8)^4 — ≈1 for copies, ~2% at j=0.5 — so the candidate set
-    (and the O(pairs · shingles) verify) stays near the true-dup count.
+    Three-stage funnel, each stage orders of magnitude cheaper per
+    survivor than the next:
+      1. band-bucket join on (band, bkey) ints — candidates only;
+      2. signature estimate (32-int comparison) kills candidates far
+         below the threshold BEFORE the wide shingle arrays are joined;
+      3. exact Jaccard on shingle sets for the survivors.
     `max_bucket` drops degenerate band buckets (> max_bucket members,
     i.e. >max_bucket²/2 pairs): giant clusters are boilerplate already
-    caught by exact dedup, and the cap bounds the worst skewed reducer."""
+    caught by exact dedup, and the cap bounds the worst skewed reducer.
+    The signature table is persisted — it is reused by both self-join
+    sides and both estimate joins; at production scale materialize it
+    as a table instead."""
+    if bands is None:
+        bands = auto_bands(n_hashes, jaccard_threshold)
     rows_per_band = n_hashes // bands
     assert rows_per_band * bands == n_hashes
-    # Band rows carry ONLY (id, band, bkey) — never the shingle arrays.
-    # The band shuffle is then 3 scalar columns wide; the (wide) shingle
-    # sets rejoin only for the few candidate pairs that collide. At 100TB
-    # this is the difference between shuffling bytes and shuffling docs.
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    banded = base.select(
-        "id", minhash_band_keys("text", k, n_hashes, bands).alias("bkeys")
-    ).select("id", F.posexplode("bkeys").alias("band", "bkey"))
+    sh_expr = (
+        f"array_distinct(transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
+        f" i -> substring(text, i, {k})))"
+    )
+    # let-bind the shingle set so it is built once per row, not once per
+    # hash seed (the seed transform's lambda body would otherwise inline it)
+    sig_tbl = base.select(
+        "id",
+        F.expr(
+            f"transform(array({sh_expr}), sh -> transform(sequence(0, {n_hashes - 1}),"
+            f" i -> array_min(transform(sh, s -> xxhash64(s, i)))))[0]"
+        ).alias("sig"),
+    ).persist()
+    # Band rows carry ONLY (id, band, bkey) — never shingle arrays.
+    # The band shuffle is then 3 scalar columns wide; wide arrays rejoin
+    # only for surviving pairs. At 100TB this is the difference between
+    # shuffling bytes and shuffling documents.
+    banded = sig_tbl.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
+            )
+        ).alias("band", "bkey"),
+    )
     sz = Window.partitionBy("band", "bkey")
     banded = banded.withColumn("bsz", F.count("*").over(sz)).where(
         F.col("bsz") <= max_bucket
@@ -117,9 +159,26 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # stage 2: signature-estimate prefilter (3σ + slack below threshold)
+    import math
+
+    sigma = math.sqrt(jaccard_threshold * (1 - jaccard_threshold) / n_hashes)
+    est_cut = max(0.0, jaccard_threshold - 3 * sigma - 0.05)
+    est = (
+        cand.join(sig_tbl.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig_tbl.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn(
+            "est_j",
+            F.expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),"
+                   f" 0, (s, v) -> s + v) / {n_hashes}"),
+        )
+        .where(F.col("est_j") >= est_cut)
+        .select("id_a", "id_b")
+    )
+    # stage 3: exact Jaccard on the shingle sets of the survivors
     sh_tbl = base.select("id", shingles("text", k).alias("sh"))
     jac = (
-        cand.join(sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        est.join(sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .withColumn(
             "jaccard",

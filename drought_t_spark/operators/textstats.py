@@ -67,12 +67,26 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-voting language guess (deterministic tie-break by
-    language code order via greatest-struct trick)."""
+    language code order via greatest-struct trick).
+
+    The text is split ONCE (let-binding idiom) and all four language
+    counters filter the same word array — four independent
+    `_stopword_hits` expressions would each re-split the text."""
+    w = _WORDS.format(c=text_col)
+    counters = ", ".join(
+        "size(filter(ws, t -> array_contains(array("
+        + ",".join(f"'{x}'" for x in ws)
+        + "), lower(t))))"
+        for ws in _STOPWORDS.values()
+    )
+    hits_arr = f"transform(array({w}), ws -> array({counters}))[0]"
     scored = df.select(
+        F.col(id_col), F.expr(hits_arr).alias("_hits")
+    ).select(
         F.col(id_col),
         *[
-            _stopword_hits(text_col, ws).alias(f"hits_{lang}")
-            for lang, ws in _STOPWORDS.items()
+            F.element_at("_hits", i + 1).alias(f"hits_{lang}")
+            for i, lang in enumerate(_STOPWORDS)
         ],
     )
     # argmax with deterministic ties: pack (hits, reverse-alpha-rank) structs

@@ -59,9 +59,12 @@ class Warehouse:
 
     @staticmethod
     def snapshot_token(df: DataFrame, key_cols: list[str]) -> str:
-        """Deterministic content token (Iceberg snapshot-id stand-in)."""
+        """Deterministic content token (Iceberg snapshot-id stand-in).
+        bit_xor is order-independent and cannot overflow — summing
+        xxhash64 values would throw under ANSI mode whenever a partial
+        sum transiently exceeds int64 (scheduling-dependent, flaky)."""
         row = df.select(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64(*key_cols)).alias("h"),
+            F.expr(f"bit_xor(xxhash64({', '.join(key_cols)}))").alias("h"),
         ).first()
         return f"{row.n}:{row.h}"
