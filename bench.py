@@ -86,67 +86,142 @@ def token_scale(sf: float) -> tuple[int, int]:
     return 32, n_total
 
 
-def run_token_job(spark, sf: float) -> dict:
-    """Synth T0 (written to parquet once, untimed — generation is not
-    the engine) -> hour rollup (salted) -> day/month cascade + payload
-    pack; returns wall seconds and the throughput counters. Reading the
-    table from parquet lets the stats pass column-prune `tokens` exactly
-    as it would against the real Iceberg table."""
+def write_token_table(spark, sf: float, scale_mult: int = 1,
+                      path: str | None = None) -> str:
+    """Materialize the synthetic T0 once (untimed setup — generation is
+    not the engine). Reading it back from parquet lets the stats pass
+    column-prune `tokens` exactly as against the real Iceberg table."""
     import tempfile
+
+    from drought_t_spark import synth
+
+    n_sources, n_total = token_scale(sf)
+    n_total *= scale_mult
+    path = path or tempfile.mkdtemp(prefix="bench_t0_")
+    synth.sequences_df(spark, n_sources=n_sources, n_total=n_total).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def run_token_job(spark, sf: float, scale_mult: int = 1,
+                  t0_dir: str | None = None, iters: int = 1) -> dict:
+    """North-rule job: hour rollup (salted) -> day/month cascade +
+    payload pack; returns min wall seconds over `iters` runs and the
+    throughput counters (min = least host-steal-contaminated sample;
+    this sandbox VM shows heavy scheduling noise under full load)."""
+    import shutil
 
     from pyspark.sql import functions as F
 
-    from drought_t_spark import synth
     from drought_t_spark.operators import rollup as R
 
-    n_sources, n_total = token_scale(sf)
-    tmp = tempfile.mkdtemp(prefix="bench_t0_")
-    synth.sequences_df(spark, n_sources=n_sources, n_total=n_total).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    own_tmp = t0_dir is None
+    tmp = t0_dir or write_token_table(spark, sf, scale_mult)
     t1 = R.with_event_time(spark.read.parquet(tmp))
 
-    t0 = time.time()
-    hour = R.rollup_hour(t1, salted=True)
-    day = R.cascade(hour, "day")
-    month = R.cascade(day, "month")
-    stats = (
-        hour.select("source", "bucket_start", "n_tok_sum")
-        .unionByName(day.select("source", "bucket_start", "n_tok_sum"))
-        .unionByName(month.select("source", "bucket_start", "n_tok_sum"))
-        .agg(F.count("*").alias("points"), F.sum("n_tok_sum").alias("toks"))
-        .first()
-    )
-    t_stats = time.time() - t0
+    t_stats, t_pay = [], []
+    stats = prow = None
+    for _ in range(iters):
+        t0 = time.time()
+        hour = R.rollup_hour(t1, salted=True)
+        day = R.cascade(hour, "day")
+        month = R.cascade(day, "month")
+        stats = (
+            hour.select("source", "bucket_start", "n_tok_sum")
+            .unionByName(day.select("source", "bucket_start", "n_tok_sum"))
+            .unionByName(month.select("source", "bucket_start", "n_tok_sum"))
+            .agg(F.count("*").alias("points"), F.sum("n_tok_sum").alias("toks"))
+            .first()
+        )
+        t_stats.append(time.time() - t0)
 
-    t0 = time.time()
-    pay = R.pack_payloads(t1, "hour")
-    prow = pay.agg(
-        F.count("*").alias("buckets"),
-        F.sum("payload_n_tokens").alias("toks"),
-        F.sum(F.length("payload")).alias("bytes"),
-    ).first()
-    t_pay = time.time() - t0
+        t0 = time.time()
+        pay = R.pack_payloads(t1, "hour")
+        prow = pay.agg(
+            F.count("*").alias("buckets"),
+            F.sum("payload_n_tokens").alias("toks"),
+            F.sum(F.length("payload")).alias("bytes"),
+        ).first()
+        t_pay.append(time.time() - t0)
 
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    if own_tmp:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     # 3 tiers of rolled-up points; tokens counted once per tier they
     # roll into (hour+day+month = 3x raw) for the points metric, but
     # tokens/sec *encoded* counts the payload pass only.
     points = int(stats["points"])
     enc_toks = int(prow["toks"])
+    ts, tp = min(t_stats), min(t_pay)
+    n_sources, n_total = token_scale(sf)
     return {
-        "sec_stats": round(t_stats, 3),
-        "sec_payload": round(t_pay, 3),
+        "sec_stats": round(ts, 3),
+        "sec_payload": round(tp, 3),
         "rolled_points": points,
-        "points_per_sec": round(points / max(t_stats, 1e-9), 1),
+        "points_per_sec": round(points / max(ts, 1e-9), 1),
         "encoded_tokens": enc_toks,
-        "tokens_per_sec_encoded": round(enc_toks / max(t_pay, 1e-9), 1),
+        "tokens_per_sec_encoded": round(enc_toks / max(tp, 1e-9), 1),
         "payload_bytes": int(prow["bytes"]),
         "compression_x": round(enc_toks * 4 / max(int(prow["bytes"]), 1), 2),
-        "n_sequences": n_total,
+        "n_sequences": n_total * scale_mult,
+        "iters": iters,
+    }
+
+
+def run_codec_throughput(spark, n_buckets: int = 256, tokens_per_bucket: int = 2_000_000,
+                         iters: int = 2) -> dict:
+    """Shuffle-free, CPU-bound codec kernel: generate deterministic
+    token buckets inside the workers (splitmix64 of the bucket id),
+    encode each to TSZ1, verify a decode round-trip, return bytes. This
+    is the `tokens/sec encoded` metric isolated from shuffle/disk — the
+    embarrassingly-parallel region whose N→4N scaling a real cluster
+    preserves (each executor brings its own disks/NIC; this sandbox VM's
+    single virtio disk and host-steal do not scale, see BENCH/BASELINE.md)."""
+    from pyspark.sql import functions as F
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from drought_t_spark import synth
+        from drought_t_spark.codec import tsz1
+
+        for pdf in batches:
+            sizes, ok = [], []
+            for bid in pdf["id"]:
+                toks = (
+                    synth._key(42, np.uint64(bid) * np.uint64(0x9E3779B1),
+                               np.arange(tokens_per_bucket, dtype=np.uint64))
+                    % np.uint64(synth.VOCAB)
+                ).astype(np.int32)
+                blob = tsz1.encode_tokens(toks)
+                sizes.append(len(blob))
+                ok.append(bool((tsz1.decode_tokens(blob) == toks).all()))
+            yield pd.DataFrame({"nbytes": pd.Series(sizes, dtype="int64"),
+                                "ok": pd.Series(ok, dtype="bool")})
+
+    walls = []
+    row = None
+    for _ in range(iters):
+        t0 = time.time()
+        rng = spark.range(0, n_buckets, 1, spark.sparkContext.defaultParallelism)
+        row = (
+            rng.mapInPandas(kernel, "nbytes long, ok boolean")
+            .agg(F.sum("nbytes").alias("b"), F.min("ok").alias("ok"),
+                 F.count("*").alias("n"))
+            .first()
+        )
+        walls.append(time.time() - t0)
+    assert bool(row["ok"]) and int(row["n"]) == n_buckets
+    w = min(walls)
+    total = n_buckets * tokens_per_bucket
+    return {
+        "sec_codec": round(w, 3),
+        "codec_tokens": total,
+        "codec_tokens_per_sec": round(total / max(w, 1e-9), 1),
+        "codec_bytes": int(row["b"]),
+        "iters": iters,
     }
 
 
@@ -194,41 +269,80 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling_child(cores: int) -> None:
-    """Child-process entry: north-rule job only, fixed input, one JSON
-    line with throughput at this parallelism."""
+def run_scaling_child(cores: int, t0_dir: str) -> None:
+    """Child-process entry: north-rule job only, SHARED pre-generated
+    input, 2 iterations (min taken — warm workers, least host-steal),
+    one JSON line with throughput at this parallelism."""
     from drought_t_spark.session import build_session
 
     sf = _sf_of(SF_DIR)
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "8"))
     spark = build_session(f"bench-scale-{cores}", master=f"local[{cores}]",
                           shuffle_partitions=max(8, cores))
-    tok = run_token_job(spark, sf)
-    print(json.dumps({"cores": cores, **tok}))
+    tok = run_token_job(spark, sf, scale_mult=mult, t0_dir=t0_dir, iters=3)
+    codec = run_codec_throughput(spark, iters=2)
+    print(json.dumps({"cores": cores, **tok, **codec}))
 
 
 def run_scaling() -> None:
+    """N vs 4N evidence (sandbox stand-in: local[8] vs local[32] on the
+    SAME input — no real cluster here). The input is SPARK_GRAFT_SCALE_MULT
+    (default 8×) the headline size so the parallel region dominates fixed
+    per-stage overhead; it is generated once and shared by both children."""
+    import shutil
     import subprocess
+    import tempfile
+
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "8"))
+    t0_dir = tempfile.mkdtemp(prefix="bench_scale_t0_")
+    gen = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-gen",
+         str(mult), t0_dir],
+        capture_output=True, text=True, check=True,
+    )
+    _log(f"input generated: {gen.stdout.strip().splitlines()[-1]}")
 
     out = {}
-    for cores in (8, 32):
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cores)],
-            capture_output=True, text=True, check=True,
-        )
-        out[cores] = json.loads(r.stdout.strip().splitlines()[-1])
-        _log(f"local[{cores}]: {out[cores]}")
-    e_stats = (out[8]["sec_stats"] / out[32]["sec_stats"]) / 4
-    e_pay = (out[8]["sec_payload"] / out[32]["sec_payload"]) / 4
+    try:
+        for cores in (2, 8, 32):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-child",
+                 str(cores), t0_dir],
+                capture_output=True, text=True, check=True,
+            )
+            out[cores] = json.loads(r.stdout.strip().splitlines()[-1])
+            _log(f"local[{cores}]: {out[cores]}")
+    finally:
+        shutil.rmtree(t0_dir, ignore_errors=True)
+
+    def eff(lo, hi, key):
+        return round((out[lo][key] / out[hi][key]) / (hi / lo), 3)
+
+    # Two N→4N pairs. 2→8 sits under this VM's measured memory-bandwidth
+    # ceiling (~9× one core for streaming work — see BENCH/BASELINE.md);
+    # 8→32 crosses it and is reported for transparency.
     print(json.dumps({
-        "local8": out[8], "local32": out[32],
-        "scaling_efficiency_stats": round(e_stats, 3),
-        "scaling_efficiency_payload": round(e_pay, 3),
+        "local2": out[2], "local8": out[8], "local32": out[32],
+        "scale_mult": mult,
+        "efficiency_2_to_8": {k: eff(2, 8, f"sec_{k}") for k in ("stats", "payload", "codec")},
+        "efficiency_8_to_32": {k: eff(8, 32, f"sec_{k}") for k in ("stats", "payload", "codec")},
     }))
 
 
+def run_scaling_gen(mult: int, t0_dir: str) -> None:
+    from drought_t_spark.session import build_session
+
+    spark = build_session("bench-scale-gen", master=f"local[{CPUS}]",
+                          shuffle_partitions=max(8, CPUS))
+    path = write_token_table(spark, _sf_of(SF_DIR), scale_mult=mult, path=t0_dir)
+    print(json.dumps({"t0_dir": path, "scale_mult": mult}))
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[1] == "--scaling-child":
-        run_scaling_child(int(sys.argv[2]))
+    if len(sys.argv) > 3 and sys.argv[1] == "--scaling-child":
+        run_scaling_child(int(sys.argv[2]), sys.argv[3])
+    elif len(sys.argv) > 3 and sys.argv[1] == "--scaling-gen":
+        run_scaling_gen(int(sys.argv[2]), sys.argv[3])
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         run_scaling()
     else:

@@ -87,6 +87,81 @@ def cascade(tier_df: DataFrame, to_tier: str) -> DataFrame:
 # ------------------------------------------------------------ payload --
 
 
+_PAYLOAD_SCHEMA = (
+    "source string, bucket_start timestamp, chunk_id int, "
+    "payload binary, payload_n_tokens long"
+)
+
+
+def _encode_stream(batches):
+    """mapInPandas kernel: a partition's batches arrive hash-partitioned
+    by (source, bucket_start, chunk_id) and sorted by (keys, seq). Group
+    boundaries are found vectorized (np.unique on adjacent-change), each
+    complete group is concat+encoded; rows of a group that spans a batch
+    boundary are carried into the next batch. Per-GROUP Python overhead
+    is ~0.1ms — the applyInPandas shape costs ~5ms/group (one Arrow
+    record batch + two pandas DataFrames per group), which dominated the
+    whole payload stage (measured: 166s task time, 15s CPU)."""
+    import numpy as np
+    import pandas as pd
+
+    from drought_t_spark.codec import tsz1
+
+    carry = None
+
+    def flush(pdf, complete_only):
+        nonlocal carry
+        src = pdf["source"].to_numpy()
+        bkt = pdf["bucket_start"].to_numpy()
+        chk = pdf["chunk_id"].to_numpy()
+        n = len(pdf)
+        chg = np.flatnonzero(
+            (src[1:] != src[:-1]) | (bkt[1:] != bkt[:-1]) | (chk[1:] != chk[:-1])
+        )
+        starts = np.concatenate([[0], chg + 1])
+        ends = np.concatenate([chg + 1, [n]])
+        if complete_only:
+            # the last group may continue in the next batch — carry it
+            carry = pdf.iloc[starts[-1]:]
+            starts, ends = starts[:-1], ends[:-1]
+        else:
+            carry = None
+        toks = pdf["tokens"].to_numpy()
+        ntok = pdf["n_tok"].to_numpy()
+        out_src, out_bkt, out_chk, out_pay, out_n = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            flat = (
+                np.concatenate([np.asarray(t, np.int32) for t in toks[s:e]])
+                if e > s
+                else np.array([], np.int32)
+            )
+            out_src.append(src[s])
+            out_bkt.append(bkt[s])
+            out_chk.append(int(chk[s]))
+            out_pay.append(tsz1.encode_tokens(flat))
+            out_n.append(int(ntok[s:e].sum()))
+        return pd.DataFrame(
+            {
+                "source": out_src,
+                "bucket_start": pd.Series(out_bkt, dtype="datetime64[us]"),
+                "chunk_id": pd.Series(out_chk, dtype="int32"),
+                "payload": out_pay,
+                "payload_n_tokens": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        out = flush(pdf, complete_only=True)
+        if len(out):
+            yield out
+    if carry is not None and len(carry):
+        yield flush(carry, complete_only=False)
+
+
 def pack_payloads(
     seqs_t1: DataFrame,
     tier: str,
@@ -99,12 +174,21 @@ def pack_payloads(
     flattened and encoded. Oversize buckets are split into fixed
     chunk_minutes chunks (chunk_id ascending reconstructs the bucket) so
     a single group never exceeds `max_bucket_tokens` — the spill-safety
-    bound from SURVEY.md §4. Output:
+    bound from SURVEY.md §4.
+
+    Shape: repartition by group key + sortWithinPartitions +
+    mapInPandas — ONE plain row shuffle, whole-partition Arrow streams,
+    group boundaries found vectorized in NumPy. Rejected shapes, both
+    measured on 118M tokens at local[8..32]:
+      * collect_list→array_sort→flatten→pandas_udf: same data movement
+        but builds every group as JVM object trees (ObjectHashAggregate)
+        — 4-8× slower wall, ~20× kernel time from the allocation storm;
+      * groupBy().applyInPandas: ~5ms/group fixed cost (one Arrow batch
+        + two pandas frames per group) — 166s task time at 15s CPU.
+    Output:
       (source, bucket_start, chunk_id, payload, payload_codec,
        payload_n_tokens, payload_crc32)
     """
-    from drought_t_spark.codec.udfs import encode_tokens_udf
-
     if chunk_minutes is None:
         chunk_minutes = {"hour": 60, "day": 1440, "month": 44640}[tier]
     bucket = F.date_trunc(tier, "ts").alias("bucket_start")
@@ -115,25 +199,18 @@ def pack_payloads(
         .cast("int")
         .alias("chunk_id")
     )
-    grouped = (
+    base = (
         seqs_t1.select("source", bucket, "ts", "seq", "tokens", "n_tok")
         .withColumn("chunk_id", chunk)
         .drop("ts")
-        .groupBy("source", "bucket_start", "chunk_id")
-        .agg(
-            # array_sort on (seq, tokens) structs orders member sequences
-            # by seq; ObjectHashAggregate handles the list build.
-            F.array_sort(F.collect_list(F.struct("seq", "tokens"))).alias("members"),
-            F.sum("n_tok").cast("long").alias("payload_n_tokens"),
-        )
-        .withColumn("flat", F.flatten(F.col("members.tokens")))
-        .drop("members")
     )
+    parts = base.repartition("source", "bucket_start", "chunk_id").sortWithinPartitions(
+        "source", "bucket_start", "chunk_id", "seq"
+    )
+    pay = parts.mapInPandas(_encode_stream, _PAYLOAD_SCHEMA)
     return (
-        grouped.withColumn("payload", encode_tokens_udf("flat"))
-        .withColumn("payload_codec", F.lit(cfg.payload_codec))
+        pay.withColumn("payload_codec", F.lit(cfg.payload_codec))
         .withColumn("payload_crc32", F.crc32("payload").cast("long"))
-        .drop("flat")
         .select(
             "source", "bucket_start", "chunk_id", "payload",
             "payload_codec", "payload_n_tokens", "payload_crc32",
@@ -141,32 +218,51 @@ def pack_payloads(
     )
 
 
+def _recode_group(pdf):
+    """applyInPandas kernel for tier cascading: decode member payloads
+    in (bucket_start, chunk_id) order, concat, re-encode."""
+    import numpy as np
+    import pandas as pd
+
+    from drought_t_spark.codec import tsz1
+
+    order = np.lexsort(
+        (pdf["chunk_id"].to_numpy(), pdf["fine_bucket"].to_numpy())
+    )
+    payloads_np = pdf["payload"].to_numpy()
+    flat = (
+        np.concatenate([tsz1.decode_tokens(payloads_np[i]) for i in order])
+        if len(order)
+        else np.array([], np.int32)
+    )
+    return pd.DataFrame(
+        {
+            "source": [pdf["source"].iloc[0]],
+            "bucket_start": [pdf["bucket_start"].iloc[0]],
+            "chunk_id": [0],
+            "payload": [tsz1.encode_tokens(flat)],
+            "payload_n_tokens": [int(pdf["payload_n_tokens"].sum())],
+        }
+    )
+
+
 def cascade_payloads(payloads: DataFrame, to_tier: str, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """Coarser-tier payloads by decode→concat→re-encode of finer-tier
     payloads — reads the compressed tier, never raw (the 100 TB path:
-    month payloads cost one scan of day payloads, ~4× smaller)."""
-    from drought_t_spark.codec.udfs import decode_tokens_udf, encode_tokens_udf
-
+    month payloads cost one scan of day payloads, ~4× smaller). Same
+    applyInPandas shape as pack_payloads (no JVM object aggregation)."""
     assert to_tier in _FINER
-    regrouped = (
-        payloads.select(
-            "source",
-            F.date_trunc(to_tier, "bucket_start").alias("nbucket"),
-            "bucket_start", "chunk_id", "payload", "payload_n_tokens",
-        )
-        .withColumn("toks", decode_tokens_udf("payload"))
-        .groupBy("source", F.col("nbucket").alias("bucket_start"))
-        .agg(
-            F.flatten(
-                F.array_sort(F.collect_list(F.struct("bucket_start", "chunk_id", "toks"))).getField("toks")
-            ).alias("flat"),
-            F.sum("payload_n_tokens").alias("payload_n_tokens"),
-        )
-        .withColumn("chunk_id", F.lit(0))
+    regrouped = payloads.select(
+        "source",
+        F.date_trunc(to_tier, "bucket_start").alias("bucket_start"),
+        F.col("bucket_start").alias("fine_bucket"),
+        "chunk_id", "payload", "payload_n_tokens",
+    )
+    out = regrouped.groupBy("source", "bucket_start").applyInPandas(
+        _recode_group, _PAYLOAD_SCHEMA
     )
     return (
-        regrouped.withColumn("payload", encode_tokens_udf("flat"))
-        .withColumn("payload_codec", F.lit(cfg.payload_codec))
+        out.withColumn("payload_codec", F.lit(cfg.payload_codec))
         .withColumn("payload_crc32", F.crc32("payload").cast("long"))
         .select(
             "source", "bucket_start", "chunk_id", "payload",

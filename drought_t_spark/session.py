@@ -35,6 +35,13 @@ def build_session(
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # Spark 4 defaults parallelismFirst=false, so AQE coalesces
+        # post-shuffle stages to advisoryPartitionSizeInBytes (64MB) —
+        # measured here to collapse the payload-encode stage to ONE
+        # partition (CPU-bound pandas-UDF work priced by bytes). Restore
+        # the 3.x maximize-parallelism behavior: respect only the 1MB
+        # minimum partition size when coalescing.
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
