@@ -251,6 +251,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["cumulative_deficit"] = cumulative_deficit
 
+    # --- chunked-window skew path (SURVEY §4): same oracles as the
+    # global-window twins — the stitching must be invisible in results ---
+    def ma_chunked(spark, sf_dir):
+        from drought_t_spark.operators.chunked import moving_avg_chunked
+
+        h = _hour_stats(spark, sf_dir).withColumn("value", F.col("avg_raw"))
+        filled = gap_fill(h, "hour", EngineConfig(), value_cols=("value",))
+        sm = moving_avg_chunked(filled, 7, "hour", chunk_buckets=48)
+        return sm.select(
+            F.col("source").alias("event_type"), "bucket_start",
+            F.round("x_ma", 6).alias("x_ma"),
+        )
+    q["ma_chunked"] = ma_chunked
+
+    def runs_events_chunked(spark, sf_dir):
+        from drought_t_spark.operators.chunked import chunked_run_events
+        from drought_t_spark.operators.runs import below_mask
+        from drought_t_spark.operators.smoothing import moving_avg
+        from drought_t_spark.operators.threshold import attach_threshold, fixed_threshold
+
+        tier = series_to_tier(_daily_series(spark, sf_dir), site_col="source",
+                              ts_col="bucket_start", value_col="value")
+        filled = gap_fill(tier, "day", _RUNS_CFG, value_cols=("value",))
+        sm = moving_avg(filled, 1)
+        th = fixed_threshold(sm, _RUNS_CFG)
+        masked = below_mask(attach_threshold(sm, th, variable=False))
+        ev = chunked_run_events(masked, "day", chunk_buckets=8)
+        return ev.where(F.col("below") == 1).select(
+            F.col("source").alias("event_type"), "onset", "termination",
+            F.col("duration").cast("long").alias("duration"),
+            F.round("severity", 3).alias("severity"),
+        )
+    q["runs_events_chunked"] = runs_events_chunked
+
     # --- frequency reporting (FR1/AG5) ---
     def frequency_yearly(spark, sf_dir):
         from drought_t_spark.operators.frequency import frequency
@@ -672,6 +706,21 @@ def oracle_sql() -> dict[str, str]:
                PARTITION BY s.event_type ORDER BY s.bucket_start
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_deficit_micro
     FROM s JOIN th ON s.event_type = th.event_type
+    """
+
+    o["ma_chunked"] = f"""
+    WITH {_SQL_HOURLY}
+    SELECT event_type, bucket_start,
+           round(avg(avg_raw) OVER (
+               PARTITION BY event_type ORDER BY bucket_start
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS x_ma
+    FROM s
+    """
+
+    o["runs_events_chunked"] = f"""
+    WITH {_runs_core}
+    SELECT event_type, onset, termination, duration, round(sev_raw, 3) AS severity
+    FROM ev
     """
 
     o["frequency_yearly"] = f"""
