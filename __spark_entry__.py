@@ -542,6 +542,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["codec_roundtrip"] = codec_roundtrip
 
+    def codec_float_roundtrip(spark, sf_dir):
+        from drought_t_spark.codec.udfs import decode_floats_udf, encode_floats_udf
+
+        e = _t(spark, sf_dir, "embeddings")
+        vec = F.expr("transform(embedding, x -> cast(x as double))")
+        rt = e.select(
+            "vec_id",
+            vec.alias("orig"),
+            decode_floats_udf(encode_floats_udf(vec)).alias("decoded"),
+        )
+        return rt.select(
+            F.count("*").cast("long").alias("n_payloads"),
+            F.sum((F.col("orig") != F.col("decoded")).cast("int")).cast("long").alias("n_mismatch"),
+        )
+    q["codec_float_roundtrip"] = codec_float_roundtrip
+
     def tier_rollup_synth(spark, sf_dir):
         from drought_t_spark import synth
 
