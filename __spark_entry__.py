@@ -590,6 +590,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["drought_events_full"] = drought_events_full
 
+    def streaming_rollup(spark, sf_dir):
+        import tempfile
+
+        from drought_t_spark import synth
+        from drought_t_spark.streaming.rollup_stream import run_to_memory
+
+        path = tempfile.mkdtemp(prefix="stream_t0_")
+        synth.sequences_df(spark, n_sources=3, n_total=3000).write.mode(
+            "overwrite"
+        ).parquet(path)
+        out = run_to_memory(spark, path, name="q_stream_tier_hour")
+        return out.select(
+            "source", "bucket_start",
+            F.col("n_seq").cast("long").alias("n_seq"),
+            "n_tok_sum",
+        )
+    q["streaming_rollup"] = streaming_rollup
+
     def multimodal_features(spark, sf_dir):
         media = synth_media(_t(spark, sf_dir, "documents"))
         feats = decode_image_features(media)
