@@ -460,6 +460,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_exact"] = dedup_exact
 
+    def ngram_jaccard(spark, sf_dir):
+        from drought_t_spark.operators.dedup import ngram_jaccard_pairs
+
+        d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select(
+            "doc_id", "text"
+        )
+        return ngram_jaccard_pairs(d, threshold=0.2).select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    q["ngram_jaccard"] = ngram_jaccard
+
     def fingerprint_docs(spark, sf_dir):
         d = _scaled(spark, _t(spark, sf_dir, "documents"))
         return TS.fingerprint(d).select("doc_id", "fp_md5")
@@ -517,6 +530,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", F.round("cosine", 6).alias("cosine")
         )
     q["embedding_neardups"] = embedding_neardups
+
+    def cosine_topk_ivf(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings")
+        qv = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+        return SIM.cosine_topk_ivf(e, qv, k=10, n_centroids=16, n_probe=6).select(
+            "vec_id", F.round("score", 6).alias("score")
+        )
+    q["cosine_topk_ivf"] = cosine_topk_ivf
 
     def cosine_topk_lsh(spark, sf_dir):
         e = _t(spark, sf_dir, "embeddings")
@@ -875,6 +896,21 @@ def oracle_sql() -> dict[str, str]:
     SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
            CAST(count(*) AS BIGINT) AS n_copies
     FROM documents GROUP BY text
+    """
+
+    o["ngram_jaccard"] = """
+    WITH sh AS (
+      SELECT CAST(doc_id AS BIGINT) AS id,
+             list_distinct(list_transform(range(1, greatest(length(text)-2,1)+1),
+                 i -> substring(text, CAST(i AS INT), 3))) AS s
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(len(list_intersect(a.s, b.s))
+                 / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.id < b.id
+    WHERE len(list_intersect(a.s, b.s))
+          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.2
     """
 
     o["fingerprint_docs"] = """

@@ -276,3 +276,44 @@ def embedding_near_dups(
         .dropDuplicates(["id_a", "id_b"])
     )
     return cand.where(F.col("cosine") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram (character k-shingle) Jaccard similarity.
+
+    With `candidates` (id_a, id_b) given, scores only those pairs — the
+    verify stage of any blocking scheme (MinHash LSH supplies candidates
+    at scale). Without, scores ALL pairs — O(n²), for small cohorts
+    only; the join is a size-guarded broadcast nested loop. Returns
+    (id_a, id_b, jaccard ≥ threshold)."""
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
+    if candidates is None:
+        pairs = (
+            sh.alias("a")
+            .join(F.broadcast(sh.alias("b")), F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
+            )
+        )
+    else:
+        pairs = (
+            candidates.join(
+                sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+            ).join(
+                sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+            )
+        )
+    jac = pairs.withColumn(
+        "jaccard",
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+    )
+    return jac.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")

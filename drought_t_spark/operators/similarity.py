@@ -66,9 +66,14 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: probe only vectors in the query's LSH bucket.
-    Recall < 1 by design; the exact baseline is cosine_topk."""
+    """Approximate top-k via random-hyperplane LSH with multi-probe:
+    scan buckets within `probe_hamming` sign-bit flips of the query's
+    bucket (near neighbors most often differ by exactly one marginal
+    hyperplane, so hamming-1 probing multiplies recall for a
+    (1+n_planes)/2^n_planes fraction of the data scanned). Recall < 1 by
+    design; `cosine_topk` is the exact baseline."""
     q = np.asarray(query_vec, dtype=np.float64)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, 512))
@@ -80,7 +85,57 @@ def cosine_topk_lsh(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
     ).withColumn("bucket", hyperplane_bucket("v", n_planes, seed, dim=len(q)))
-    scored = dv.where(F.col("bucket") == qbucket).select(
+    near = F.bit_count(
+        F.col("bucket").bitwiseXOR(F.lit(qbucket))
+    ) <= probe_hamming
+    scored = dv.where(near).select(
         id_col, cosine_expr("v", _lit_vec(q)).alias("score")
     )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat approximate top-k: vectors are assigned to their nearest
+    coarse centroid (seeded deterministic unit directions; at production
+    scale train them with k-means|| over a sample and broadcast), and
+    only the query's `n_probe` nearest cells are scanned with exact
+    cosine. Candidate count shrinks ~n_probe/n_centroids; recall < 1 by
+    design — `cosine_topk` is the exact baseline, `cosine_topk_lsh` the
+    hyperplane alternative."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_centroids, len(q)))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    # driver-side probe list: the query's n_probe nearest centroids
+    probe = np.argsort(-(cents @ q))[:n_probe].tolist()
+
+    # assignment expression: argmax of centroid dot products, computed
+    # with the let-binding idiom so the (cast) vector is built once
+    dots = ", ".join(
+        "aggregate(zip_with(v, " + _lit_vec(c) + ", (x, y) -> x * y),"
+        " cast(0.0 as double), (s, x) -> s + x)"
+        for c in cents
+    )
+    assign = (
+        f"transform(array(transform({vec_col}, x -> cast(x as double))), v -> "
+        f"  array_position(array({dots}), array_max(array({dots})))"
+        f")[0]"
+    )
+    dv = df.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+        (F.expr(assign) - 1).cast("int").alias("cell"),
+    )
+    cand = dv.where(F.col("cell").isin(probe))
+    scored = cand.select(id_col, cosine_expr("v", _lit_vec(q)).alias("score"))
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
