@@ -612,16 +612,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["drought_events_full"] = drought_events_full
 
     def streaming_rollup(spark, sf_dir):
+        import shutil
         import tempfile
 
         from drought_t_spark import synth
         from drought_t_spark.streaming.rollup_stream import run_to_memory
 
         path = tempfile.mkdtemp(prefix="stream_t0_")
-        synth.sequences_df(spark, n_sources=3, n_total=3000).write.mode(
-            "overwrite"
-        ).parquet(path)
-        out = run_to_memory(spark, path, name="q_stream_tier_hour")
+        try:
+            synth.sequences_df(spark, n_sources=3, n_total=3000).write.mode(
+                "overwrite"
+            ).parquet(path)
+            # run_to_memory fully materializes into the memory sink, so
+            # the input directory is safe to delete afterwards
+            out = run_to_memory(spark, path, name="q_stream_tier_hour")
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
         return out.select(
             "source", "bucket_start",
             F.col("n_seq").cast("long").alias("n_seq"),
@@ -634,6 +640,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         feats = decode_image_features(media)
         return feats.select("media_id", "n_bytes", "crc32")
     q["multimodal_features"] = multimodal_features
+
+    def multimodal_resize(spark, sf_dir):
+        from drought_t_spark.operators.multimodal import resize_images
+
+        media = synth_media(_t(spark, sf_dir, "documents"))
+        return resize_images(media, 16, 16).select(
+            "media_id", "width", "height", "n_bytes"
+        )
+    q["multimodal_resize"] = multimodal_resize
 
     def multimodal_frames(spark, sf_dir):
         media = synth_media(_t(spark, sf_dir, "documents"))

@@ -20,11 +20,12 @@ Every query is consumed with a full-materialization action (aggregating
 collect or ``noop`` sink) so Catalyst cannot skip work. Diagnostics go
 to stderr; stdout carries exactly the one JSON line.
 
-Scaling evidence mode (``--scaling``): re-runs the north-rule job in two
-fresh subprocess JVMs at local[8] and local[32] on the SAME input and
-reports throughput at both plus efficiency = (T32/T8)/4 — the sandbox
-stand-in for N vs 4N executors (no real cluster here); see
-BENCH/BASELINE.md.
+Scaling evidence mode (``--scaling``): re-runs the north-rule job +
+a shuffle-free codec-throughput kernel in fresh subprocess JVMs at
+local[2], local[8] and local[32] on the SAME pre-generated input and
+reports throughput at each plus both N→4N efficiencies (2→8 and 8→32)
+— the sandbox stand-in for N vs 4N executors (no real cluster here);
+see BENCH/BASELINE.md for why 2→8 is the meaningful pair on this VM.
 """
 
 from __future__ import annotations
@@ -41,7 +42,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # driver-table queries included in the headline set (one per operator
-# family; the full 38-query contract is exercised by the driver itself)
+# family; the full queries() contract is exercised by the driver itself)
 HEADLINE = [
     "rollup_hourly",
     "rollup_daily_cascade",

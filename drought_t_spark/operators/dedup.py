@@ -52,43 +52,17 @@ def minhash_signature(shingle_col: str, n_hashes: int = 32):
     )
 
 
-def minhash_band_keys(text_col: str, k: int = 3, n_hashes: int = 32, bands: int = 8):
-    """array<bigint> of LSH band keys, computed in a single expression.
-
-    Uses the `transform(array(x), v -> body)[0]` let-binding idiom twice
-    (for the shingle set and the signature) so each is evaluated exactly
-    once per row — Catalyst has no common-subexpression elimination
-    across lambda-free duplicated sub-trees, and per-row re-evaluation
-    of the shingle/signature arrays is what turns an O(len·hashes) row
-    into an O(len·hashes·bands) one."""
-    rows = n_hashes // bands
-    sh = (
-        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-        f" i -> substring({text_col}, i, {k})))"
-    )
-    return F.expr(
-        f"transform(array({sh}), sh -> "
-        f"  transform(array(transform(sequence(0, {n_hashes - 1}),"
-        f"      i -> array_min(transform(sh, s -> xxhash64(s, i))))), sig -> "
-        f"    transform(sequence(0, {bands - 1}),"
-        f"      b -> xxhash64(slice(sig, b * {rows} + 1, {rows})))"
-        f"  )[0]"
-        f")[0]"
-    )
-
-
 def auto_bands(n_hashes: int, threshold: float, target_recall: float = 0.85) -> int:
     """Smallest band count (= tightest selectivity) whose expected
     recall 1-(1-t^r)^b at the threshold still meets target_recall.
     Looser banding than needed floods the verify stage with candidate
     pairs — at sf0.1 the difference is 1.5M candidates vs ~10k."""
-    for b in (1, 2, 4, 8, 16, 32):
-        if n_hashes % b:
-            continue
+    divisors = [b for b in range(1, n_hashes + 1) if n_hashes % b == 0]
+    for b in divisors:
         r = n_hashes // b
         if 1 - (1 - threshold**r) ** b >= target_recall:
             return b
-    return 32
+    return n_hashes  # loosest legal banding: r=1 (always divides)
 
 
 def minhash_lsh_pairs(
@@ -114,9 +88,11 @@ def minhash_lsh_pairs(
     `max_bucket` drops degenerate band buckets (> max_bucket members,
     i.e. >max_bucket²/2 pairs): giant clusters are boilerplate already
     caught by exact dedup, and the cap bounds the worst skewed reducer.
-    The signature table is persisted — it is reused by both self-join
-    sides and both estimate joins; at production scale materialize it
-    as a table instead."""
+    The signature table is localCheckpoint(eager)ed — it is reused by
+    both self-join sides and both estimate joins, and unlike persist()
+    the checkpoint blocks are ContextCleaner-collected once the result
+    is dropped (persist would pin CacheManager entries for the session).
+    At production scale materialize it as a table instead."""
     if bands is None:
         bands = auto_bands(n_hashes, jaccard_threshold)
     rows_per_band = n_hashes // bands
@@ -134,7 +110,7 @@ def minhash_lsh_pairs(
             f"transform(array({sh_expr}), sh -> transform(sequence(0, {n_hashes - 1}),"
             f" i -> array_min(transform(sh, s -> xxhash64(s, i)))))[0]"
         ).alias("sig"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     # Band rows carry ONLY (id, band, bkey) — never shingle arrays.
     # The band shuffle is then 3 scalar columns wide; wide arrays rejoin
     # only for surviving pairs. At 100TB this is the difference between

@@ -120,3 +120,48 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select("media_id", "payload").mapInPandas(sample, FRAMES_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, payload binary, n_bytes long"
+)
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 64,
+                  real_decode: bool = False) -> DataFrame:
+    """mapInPandas image resize over binary payloads.
+
+    Stub semantics (no image libs in this container): the 'resized'
+    payload is a deterministic byte downsample to width*height bytes
+    (stride sampling) — preserving the real contract (one row per
+    media, new dims in metadata, smaller payload). real_decode=True is
+    the Pillow/cv2 integration point and raises here."""
+    if real_decode:
+        raise NotImplementedError(
+            "real image resize requires Pillow/cv2 — not in this container;"
+            " replace the stride downsample inside `shrink`"
+        )
+    target = width * height
+
+    def shrink(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(bytes(payload), np.uint8)
+                idx = np.linspace(0, max(len(b) - 1, 0), num=min(target, max(len(b), 1)),
+                                  dtype=np.int64)
+                out.append(b[idx].tobytes() if len(b) else b"")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "payload": out,
+                    "n_bytes": pd.Series([len(x) for x in out], dtype="int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(shrink, RESIZED_SCHEMA)

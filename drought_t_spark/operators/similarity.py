@@ -119,8 +119,11 @@ def cosine_topk_ivf(
     # driver-side probe list: the query's n_probe nearest centroids
     probe = np.argsort(-(cents @ q))[:n_probe].tolist()
 
-    # assignment expression: argmax of centroid dot products, computed
-    # with the let-binding idiom so the (cast) vector is built once
+    # assignment expression: argmax of centroid dot products. Double
+    # let-binding: the cast vector is built once, AND the dot-product
+    # array is bound once (array_position + array_max over the same
+    # `ds`) — textually repeating {dots} would re-evaluate all
+    # n_centroids × dim multiply-adds per row.
     dots = ", ".join(
         "aggregate(zip_with(v, " + _lit_vec(c) + ", (x, y) -> x * y),"
         " cast(0.0 as double), (s, x) -> s + x)"
@@ -128,7 +131,9 @@ def cosine_topk_ivf(
     )
     assign = (
         f"transform(array(transform({vec_col}, x -> cast(x as double))), v -> "
-        f"  array_position(array({dots}), array_max(array({dots})))"
+        f"  transform(array(array({dots})), ds -> "
+        f"    array_position(ds, array_max(ds))"
+        f"  )[0]"
         f")[0]"
     )
     dv = df.select(
