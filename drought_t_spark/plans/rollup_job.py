@@ -25,26 +25,43 @@ class InjectedFailure(RuntimeError):
     pass
 
 
+def group_expr(n_groups: int):
+    """Deterministic partition-group id for a source: pmod(xxhash64, n)."""
+    return F.pmod(F.xxhash64("source"), F.lit(n_groups)).cast("int")
+
+
 def run_rollup_job(
     spark: SparkSession,
     wh: Warehouse,
     seqs: DataFrame,
     job_id: str,
     cfg: EngineConfig = DEFAULT,
-    group_size: int = 2,
+    n_groups: int = 8,
     fail_after_groups: int | None = None,
     with_payloads: bool = True,
 ) -> None:
     """Hour-tier rollup (stats + payloads) with checkpoint/resume, then
-    cascaded day/month tiers (single idempotent stage each)."""
-    t1 = R.with_event_time(seqs)
-    work = t1.select("source").distinct()
-    pend = CP.pending_partitions(spark, wh, job_id, "hour", work)
-    todo = sorted(r.source for r in pend.collect())
-    groups = [todo[i : i + group_size] for i in range(0, len(todo), group_size)]
+    cascaded day/month tiers (single idempotent stage each).
 
-    for gi, group in enumerate(groups):
-        part = t1.where(F.col("source").isin(group))
+    The checkpoint unit is a HASH BUCKET of sources
+    (pmod(xxhash64(source), n_groups)), not a source list: the driver
+    never materializes the source set (10^5+ sources at production
+    scale), only the ≤ n_groups committed group ids — n_groups bounds
+    both driver memory and the number of Spark jobs per run (pick
+    ~executors/4 at scale so each group still fans out)."""
+    t1 = R.with_event_time(seqs).withColumn("_grp", group_expr(n_groups))
+    # partition_id embeds n_groups: a resume with a different bucket
+    # count must NOT trust old group ids (same id = different source
+    # set), so stale checkpoints simply don't match and work re-runs —
+    # idempotent sinks make that safe rather than silently gappy.
+    done = {
+        r.partition_id for r in
+        CP.committed_partitions(spark, wh, job_id, "hour").collect()
+    }
+    todo = [g for g in range(n_groups) if f"{n_groups}:{g}" not in done]
+
+    for gi, g in enumerate(todo):
+        part = t1.where(F.col("_grp") == g).drop("_grp")
         stats = R.rollup_hour(part, cfg, salted=True)
         wh.write_partitioned(stats, "agg.tier_hour", ["source"])
         if with_payloads:
@@ -54,7 +71,7 @@ def run_rollup_job(
         n_out = stats.count()
         tok = stats.agg(F.sum("n_tok_sum")).first()[0] or 0
         CP.record_commit(
-            spark, wh, job_id, "hour", group,
+            spark, wh, job_id, "hour", [f"{n_groups}:{g}"],
             snapshot_id=Warehouse.snapshot_token(stats, ["source", "bucket_start"]),
             rows_in=n_in, rows_out=n_out,
             metrics={"rolled_points": float(n_out), "tokens": float(tok)},

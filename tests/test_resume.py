@@ -25,18 +25,18 @@ def _tier_key(df):
 
 def test_crash_resume_identical_to_single_shot(spark, seqs, tmp_path):
     wh1 = Warehouse(str(tmp_path / "wh_single"))
-    run_rollup_job(spark, wh1, seqs, "job1", CFG, group_size=2, with_payloads=False)
+    run_rollup_job(spark, wh1, seqs, "job1", CFG, n_groups=3, with_payloads=False)
     single = _tier_key(wh1.read(spark, "agg.tier_hour")).toPandas()
 
     wh2 = Warehouse(str(tmp_path / "wh_crashed"))
     with pytest.raises(InjectedFailure):
-        run_rollup_job(spark, wh2, seqs, "job1", CFG, group_size=2,
+        run_rollup_job(spark, wh2, seqs, "job1", CFG, n_groups=3,
                        fail_after_groups=1, with_payloads=False)
-    # partial state: some sources committed, not all
+    # partial state: some groups committed, not all
     committed = CP.committed_partitions(spark, wh2, "job1", "hour").count()
-    assert 0 < committed < 6
+    assert 0 < committed < 3
 
-    run_rollup_job(spark, wh2, seqs, "job1", CFG, group_size=2, with_payloads=False)
+    run_rollup_job(spark, wh2, seqs, "job1", CFG, n_groups=3, with_payloads=False)
     resumed = _tier_key(wh2.read(spark, "agg.tier_hour")).toPandas()
 
     key = ["source", "bucket_start"]
@@ -52,15 +52,19 @@ def test_crash_resume_identical_to_single_shot(spark, seqs, tmp_path):
 
 def test_resume_skips_committed_work(spark, seqs, tmp_path):
     wh = Warehouse(str(tmp_path / "wh_skip"))
-    run_rollup_job(spark, wh, seqs, "jobX", CFG, group_size=3, with_payloads=False)
-    work = seqs.select("source").distinct()
+    run_rollup_job(spark, wh, seqs, "jobX", CFG, n_groups=3, with_payloads=False)
+    from drought_t_spark.plans.rollup_job import group_expr
+
+    work = seqs.select(
+        F.concat(F.lit("3:"), group_expr(3).cast("string")).alias("source")
+    ).distinct()
     pend = CP.pending_partitions(spark, wh, "jobX", "hour", work)
-    assert pend.count() == 0  # everything committed → nothing pending
+    assert pend.count() == 0  # every group committed → nothing pending
 
 
 def test_lineage_and_metrics_written(spark, seqs, tmp_path):
     wh = Warehouse(str(tmp_path / "wh_ops"))
-    run_rollup_job(spark, wh, seqs, "jobL", CFG, group_size=2, with_payloads=False)
+    run_rollup_job(spark, wh, seqs, "jobL", CFG, n_groups=3, with_payloads=False)
     ln = wh.read(spark, CP.LINEAGE_TBL).toPandas()
     mt = wh.read(spark, CP.METRICS_TBL).toPandas()
     assert (ln.rows_in > 0).all() and (ln.rows_out > 0).all()
