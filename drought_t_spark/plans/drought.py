@@ -34,9 +34,20 @@ def drought_events_for_tier(
 ) -> DataFrame:
     """The drought-method DAG on one rolled-up tier (SURVEY.md §3.2 #2):
     gap-fill → MA → threshold(+broadcast join) → below-mask → runs →
-    raw events → IC pooling fixed point → minor exclusion."""
+    raw events → IC pooling fixed point → minor exclusion.
+
+    Two intermediates are multi-consumer and MUST be materialized
+    (Spark recomputes a lazy subtree per consumer — no plan-level CSE):
+    the smoothed series `sm` (read once to derive the threshold and
+    once as the join left side) and the run-event table `rev` (read by
+    both the below-event and gap branches of events_with_gaps, and
+    again by the pooling loop's first checkpoint). Without these, the
+    DAG re-evaluated the full gap-fill+MA+percentile pipeline up to 4×
+    per run — measured 353 s vs 40 s on a 256-site × 10-year fixture.
+    localCheckpoint (not persist) so blocks are GC-collected with the
+    result; at production scale materialize them as tables instead."""
     filled = gap_fill(tier_df, tier, cfg)
-    sm = moving_avg(filled, cfg.ma_window)
+    sm = moving_avg(filled, cfg.ma_window).localCheckpoint(eager=True)
     if cfg.threshold_mode == "variable":
         th = variable_threshold(sm, tier, cfg)
         joined = attach_threshold(sm, th, tier, variable=True)
@@ -45,7 +56,7 @@ def drought_events_for_tier(
         joined = attach_threshold(sm, th, variable=False)
     masked = below_mask(joined)
     runs = segment_runs(masked)
-    rev = extract_events(runs)
+    rev = extract_events(runs).localCheckpoint(eager=True)
     ev = events_with_gaps(rev)
     if cfg.pooling == "ic":
         ev = pool_events(ev, cfg)
