@@ -190,23 +190,30 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4 × 16-bit sub-keys (any pair
-    within hamming ≤ 3 collides on ≥1 block), verify hamming distance."""
+    """Near-dup pairs by SimHash: block on (max_hamming + 1) bit-range
+    sub-keys — pigeonhole: ≤ max_hamming flips across max_hamming + 1
+    blocks leave ≥ 1 block identical, so recall over the fingerprints is
+    exactly 1 by construction for ANY legal max_hamming (the old fixed
+    4×16-bit scheme silently under-recalled past hamming 3). Candidate
+    pairs are verified on full 64-bit hamming distance."""
+    if not 0 <= max_hamming <= 31:
+        # n_blocks = max_hamming + 1 must leave ≥ 2-bit blocks, or the
+        # keys stop selecting anything (1-bit keys bucket half the data)
+        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    blocks = []
+    for i in range(n_blocks):
+        lo = i * width
+        w = 64 - lo if i == n_blocks - 1 else width  # last block takes the tail
+        key = (
+            F.col("simhash64") if w == 64
+            else F.shiftrightunsigned("simhash64", lo).bitwiseAND(F.lit((1 << w) - 1))
+        )
+        blocks.append(F.struct(F.lit(i).alias("blk"), key.alias("bkey")))
     sh = simhash(df, id_col, text_col)
     blocked = sh.select(
-        "id",
-        "simhash64",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        (F.shiftright("simhash64", 16 * i).bitwiseAND(F.lit(0xFFFF))).alias("bkey"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("b"),
+        "id", "simhash64", F.explode(F.array(*blocks)).alias("b")
     ).select("id", "simhash64", "b.blk", "b.bkey")
     cand = (
         blocked.alias("a")

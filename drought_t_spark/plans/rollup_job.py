@@ -38,6 +38,7 @@ def run_rollup_job(
     cfg: EngineConfig = DEFAULT,
     n_groups: int = 8,
     fail_after_groups: int | None = None,
+    fail_before_cascade: bool = False,
     with_payloads: bool = True,
 ) -> None:
     """Hour-tier rollup (stats + payloads) with checkpoint/resume, then
@@ -60,16 +61,35 @@ def run_rollup_job(
     }
     todo = [g for g in range(n_groups) if f"{n_groups}:{g}" not in done]
 
+    # ONE aggregation job sizes every pending group: empty groups commit
+    # without launching write/count jobs, and per-group rows_in needs no
+    # second scan. ≤ n_groups rows reach the driver — never the source set.
+    grp_rows: dict[int, int] = {}
+    if todo:
+        grp_rows = {
+            r["_grp"]: r["n"]
+            for r in t1.groupBy("_grp").agg(F.count("*").alias("n")).collect()
+        }
+
     for gi, g in enumerate(todo):
+        n_in = grp_rows.get(g, 0)
+        if n_in == 0:
+            CP.record_commit(
+                spark, wh, job_id, "hour", [f"{n_groups}:{g}"],
+                snapshot_id="0:0", rows_in=0, rows_out=0,
+                metrics={"rolled_points": 0.0, "tokens": 0.0},
+            )
+            continue
         part = t1.where(F.col("_grp") == g).drop("_grp")
         stats = R.rollup_hour(part, cfg, salted=True)
         wh.write_partitioned(stats, "agg.tier_hour", ["source"])
         if with_payloads:
             pay = R.pack_payloads(part, "hour", cfg)
             wh.write_partitioned(pay, "agg.payload_hour", ["source"])
-        n_in = part.count()
-        n_out = stats.count()
-        tok = stats.agg(F.sum("n_tok_sum")).first()[0] or 0
+        srow = stats.agg(
+            F.count("*").alias("n"), F.sum("n_tok_sum").alias("tok")
+        ).first()
+        n_out, tok = int(srow["n"]), int(srow["tok"] or 0)
         CP.record_commit(
             spark, wh, job_id, "hour", [f"{n_groups}:{g}"],
             snapshot_id=Warehouse.snapshot_token(stats, ["source", "bucket_start"]),
@@ -79,17 +99,29 @@ def run_rollup_job(
         if fail_after_groups is not None and gi + 1 >= fail_after_groups:
             raise InjectedFailure(f"injected crash after {gi + 1} groups")
 
+    if fail_before_cascade:
+        raise InjectedFailure("injected crash between hour and cascade tiers")
+
     # cascaded tiers — derived wholly from the committed hour tier; a
-    # full overwrite per run is idempotent by construction
+    # full overwrite per run is idempotent by construction, so the
+    # checkpoint unit is ONE stage-level token (`{tier}:all`), never a
+    # per-source list: the driver materializes no source set anywhere.
+    cascade_done = {
+        r.partition_id
+        for tier in ("day", "month")
+        for r in CP.committed_partitions(spark, wh, job_id, tier).collect()
+    }
     hour = wh.read(spark, "agg.tier_hour")
     for tier in ("day", "month"):
+        if not todo and f"{tier}:all" in cascade_done:
+            continue  # nothing new rolled in and the tier is committed
         src = hour if tier == "day" else wh.read(spark, "agg.tier_day")
         out = R.cascade(src, tier)
         wh.write_partitioned(out, f"agg.tier_{tier}", ["source"])
+        n_out = out.count()
         CP.record_commit(
-            spark, wh, job_id, tier,
-            partition_ids=[r.source for r in out.select("source").distinct().collect()],
+            spark, wh, job_id, tier, partition_ids=[f"{tier}:all"],
             snapshot_id=Warehouse.snapshot_token(out, ["source", "bucket_start"]),
-            rows_in=src.count(), rows_out=out.count(),
-            metrics={"rolled_points": float(out.count())},
+            rows_in=src.count(), rows_out=n_out,
+            metrics={"rolled_points": float(n_out)},
         )

@@ -60,11 +60,16 @@ class Warehouse:
     @staticmethod
     def snapshot_token(df: DataFrame, key_cols: list[str]) -> str:
         """Deterministic content token (Iceberg snapshot-id stand-in).
-        bit_xor is order-independent and cannot overflow — summing
-        xxhash64 values would throw under ANSI mode whenever a partial
-        sum transiently exceeds int64 (scheduling-dependent, flaky)."""
+        sum over decimal(38,0) is order-independent and overflow-free
+        under ANSI (int64 summands can't exhaust 38 digits below ~10^19
+        rows) — unlike int64 sum (scheduling-dependent ANSI overflow) or
+        bit_xor (self-cancelling: keys duplicated an even number of
+        times contribute nothing, so duplicate-shuffled datasets with
+        equal row counts could collide)."""
         row = df.select(
             F.count("*").alias("n"),
-            F.expr(f"bit_xor(xxhash64({', '.join(key_cols)}))").alias("h"),
+            F.sum(
+                F.expr(f"xxhash64({', '.join(key_cols)})").cast("decimal(38,0)")
+            ).alias("h"),
         ).first()
-        return f"{row.n}:{row.h}"
+        return f"{row.n}:{row.h or 0}"

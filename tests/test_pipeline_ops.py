@@ -64,6 +64,25 @@ def test_simhash_copies_distance_zero(spark, docs):
     assert sh.simhash64.nunique() > 1
 
 
+def test_simhash_block_guard_and_wide_hamming(spark, docs):
+    with pytest.raises(ValueError):
+        simhash_near_pairs(docs, max_hamming=32)
+    # blocked pair set == brute-force pair set at hamming <= 5: the
+    # pigeonhole blocking (max_hamming+1 blocks) guarantees recall 1
+    import itertools
+
+    d = docs.select("doc_id", "text").limit(40)
+    sh = simhash(d).toPandas()
+    want = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(
+        zip(sh.id, sh.simhash64), 2
+    ):
+        if bin((int(ha) ^ int(hb)) & ((1 << 64) - 1)).count("1") <= 5:
+            want.add((min(ia, ib), max(ia, ib)))
+    got = simhash_near_pairs(d, max_hamming=5).toPandas()
+    assert set(zip(got.id_a, got.id_b)) == want
+
+
 def test_cosine_topk_matches_numpy(spark, emb):
     pdf = emb.toPandas()
     mat = np.stack(pdf.embedding.map(np.asarray)).astype(np.float64)

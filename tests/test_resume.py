@@ -50,6 +50,27 @@ def test_crash_resume_identical_to_single_shot(spark, seqs, tmp_path):
     assert day.agg(F.sum("n_tok_sum")).first()[0] == b.n_tok_sum.sum()
 
 
+def test_crash_before_cascade_resumes_with_stage_token(spark, seqs, tmp_path):
+    """Crash between the hour tier and the cascade: the resume must
+    complete day/month WITHOUT materializing a source listing — the
+    cascade checkpoint is the single stage token `{tier}:all`."""
+    wh = Warehouse(str(tmp_path / "wh_casc"))
+    with pytest.raises(InjectedFailure):
+        run_rollup_job(spark, wh, seqs, "jobC", CFG, n_groups=3,
+                       fail_before_cascade=True, with_payloads=False)
+    assert CP.committed_partitions(spark, wh, "jobC", "hour").count() == 3
+    assert CP.committed_partitions(spark, wh, "jobC", "day").count() == 0
+
+    run_rollup_job(spark, wh, seqs, "jobC", CFG, n_groups=3, with_payloads=False)
+    for tier in ("day", "month"):
+        parts = [r.partition_id for r in
+                 CP.committed_partitions(spark, wh, "jobC", tier).collect()]
+        assert parts == [f"{tier}:all"]  # stage token, never a source list
+    hour_tok = wh.read(spark, "agg.tier_hour").agg(F.sum("n_tok_sum")).first()[0]
+    day_tok = wh.read(spark, "agg.tier_day").agg(F.sum("n_tok_sum")).first()[0]
+    assert hour_tok == day_tok
+
+
 def test_resume_skips_committed_work(spark, seqs, tmp_path):
     wh = Warehouse(str(tmp_path / "wh_skip"))
     run_rollup_job(spark, wh, seqs, "jobX", CFG, n_groups=3, with_payloads=False)
