@@ -232,10 +232,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the summands (and hence the sequential cumsum) are bit-identical
         h = _hour_stats(spark, sf_dir).withColumn("value", F.round("avg_raw", 6))
         filled = gap_fill(h, "hour", EngineConfig(), value_cols=("value",))
-        th = _hour_stats(spark, sf_dir).groupBy("source").agg(
-            F.round(F.percentile(F.round("avg_raw", 6), F.lit(0.5)), 6).alias("x0")
+        # x0 as a window percentile over the SAME frame (percentile
+        # ignores the gap rows' nulls) — one scan of events total, where
+        # a separate groupBy+join would re-derive _hour_stats twice
+        j = filled.withColumn(
+            "x0",
+            F.round(
+                F.percentile("value", F.lit(0.5)).over(Window.partitionBy("source")), 6
+            ),
         )
-        j = filled.join(F.broadcast(th), "source")
         # deficit in integer micro-units: the running sum is then exact
         # under ANY accumulation order (DuckDB windows aggregate pairwise)
         defc = F.round(

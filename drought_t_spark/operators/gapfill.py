@@ -1,15 +1,19 @@
 """GF1 gap-fill (SURVEY.md §2.10) — Spark has no implicit calendar
-index, so missing buckets are materialized explicitly: per source, a
-dense calendar from min→max bucket at tier granularity (J3 left
-join), with `value = null, gap_filled = true` for absent buckets.
+index, so missing buckets are materialized explicitly, with
+`value = null, gap_filled = true` for absent buckets.
 
 Fill modes: 'none' (nulls survive; the below-mask treats them as
 not-below), 'locf' (J4 as-of fill via last-non-null window — no range
 join needed), 'zero'.
 
-Scale: the calendar generator is one row per source (tiny) exploded to
-source×buckets; the join is on the same (source, bucket) key as the
-rollup shuffle, so AQE reuses co-partitioning where possible.
+Scale: gap_fill is a SINGLE scan of the input — one window pass
+(lead(bucket_start) per source) + one explode that emits each observed
+row followed by the missing buckets up to its successor. No
+min/max aggregation, no self-join: a lazy upstream (e.g. a rollup fed
+straight into gap_fill) is computed exactly once, where the previous
+calendar-join shape re-executed it per consumer (Spark has no
+plan-level CSE). `calendar`/`missing_buckets` keep the explicit
+calendar + anti-join shape (J3) for gap *reporting*.
 """
 
 from __future__ import annotations
@@ -40,15 +44,31 @@ def gap_fill(
     cfg: EngineConfig = DEFAULT,
     value_cols: tuple[str, ...] = ("n_seq", "n_tok_sum", "n_tok_min", "n_tok_max", "n_tok_avg", "value"),
 ) -> DataFrame:
-    """Materialize missing buckets; flag them; apply the fill mode."""
-    cal = calendar(tier_df, tier)
-    observed = tier_df.withColumn("gap_filled", F.lit(False))
+    """Materialize missing buckets; flag them; apply the fill mode.
+
+    One window + one explode: row r emits sequence(r.bucket_start,
+    next_bucket − interval) — element 0 is the observed row (values
+    kept), the rest are the gap buckets up to the successor (values
+    null). Buckets are tier-aligned and strictly increasing per source,
+    so the sequence is always non-empty and covers min→max exactly."""
+    step = _INTERVAL[tier]
     keep = [c for c in value_cols if c in tier_df.columns]
-    filled = cal.join(observed, ["source", "bucket_start"], "left").select(
-        "source",
-        "bucket_start",
-        *[F.col(c) for c in keep],
-        F.coalesce("gap_filled", F.lit(True)).alias("gap_filled"),
+    w = Window.partitionBy("source").orderBy("bucket_start")
+    filled = (
+        tier_df.withColumn("_nxt", F.lead("bucket_start").over(w))
+        .select(
+            "source",
+            *keep,
+            F.posexplode(
+                F.expr(f"sequence(bucket_start, coalesce(_nxt - {step}, bucket_start), {step})")
+            ).alias("_pos", "bucket_start"),
+        )
+        .select(
+            "source",
+            "bucket_start",
+            *[F.when(F.col("_pos") == 0, F.col(c)).alias(c) for c in keep],
+            (F.col("_pos") > 0).alias("gap_filled"),
+        )
     )
     if cfg.gap_fill_mode == "zero":
         filled = filled.withColumn("value", F.coalesce("value", F.lit(0.0)))
