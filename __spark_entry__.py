@@ -510,44 +510,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["cosine_topk"] = cosine_topk
 
-    # --- rows-only (non-SQL-expressible / approximate / stubs) ---
-    def _docs_with_copies(spark, sf_dir):
-        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-        both = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
-        return _scaled(spark, both)
-
+    # --- approximate dedup/ANN paths: ORACLE-CHECKED recall gates.
+    # Each approximate method verifies candidates with the exact score,
+    # so its result is always a SUBSET of the exact-threshold pair set;
+    # the DuckDB twin computes that exact set over the same planted
+    # perturbed near-dups. hash_match green ⟺ recall == 1 on the
+    # fixture — a recall regression flips the row red. Margins (probed
+    # at sf0.01): planted jaccard ≳ 0.9 vs noise ≤ 0.69 at threshold
+    # 0.8; planted cosine ≳ 0.9987 vs noise ≤ 0.52 at threshold 0.95.
     def minhash_pairs(spark, sf_dir):
-        return minhash_lsh_pairs(_docs_with_copies(spark, sf_dir), jaccard_threshold=0.99).select(
+        d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        pert = d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" q")).alias("text"),
+        )
+        both = _scaled(spark, d.unionByName(pert))
+        return minhash_lsh_pairs(both, jaccard_threshold=0.8).select(
             "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
         )
     q["minhash_pairs"] = minhash_pairs
 
     def simhash_pairs(spark, sf_dir):
-        return simhash_near_pairs(_docs_with_copies(spark, sf_dir), max_hamming=3)
+        """Gate: pigeonhole-blocked pairs ≡ brute-force hamming ≤ 3
+        pairs (missed = extra = 0), and every planted copy pair found.
+        The fingerprints themselves are not SQL-expressible, so the
+        oracle pins the planted-pair count (one per document) plus the
+        blocked-vs-brute-force deltas, which are 0 by construction."""
+        from drought_t_spark.operators.dedup import simhash
+
+        d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        both = _scaled(
+            spark,
+            d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")),
+        )
+        blocked = simhash_near_pairs(both, max_hamming=3).select(
+            "id_a", "id_b", F.col("hamming").alias("h_blk"), F.lit(1).alias("in_blk")
+        )
+        sh = simhash(both)
+        brute = (
+            sh.alias("a")
+            .join(F.broadcast(sh.alias("b")), F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.bit_count(
+                    F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))
+                ).alias("hamming"),
+            )
+            .where(F.col("hamming") <= 3)
+            .select("id_a", "id_b", F.lit(1).alias("in_brute"))
+        )
+        return blocked.join(brute, ["id_a", "id_b"], "full").agg(
+            F.sum(
+                F.when(
+                    (F.col("h_blk") == 0) & (F.col("id_b") == F.col("id_a") + 100000), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_copy_pairs"),
+            F.sum(F.when(F.col("in_blk").isNull(), 1).otherwise(0)).cast("long").alias("missed"),
+            F.sum(F.when(F.col("in_brute").isNull(), 1).otherwise(0)).cast("long").alias("extra"),
+        )
     q["simhash_pairs"] = simhash_pairs
 
-    def embedding_neardups(spark, sf_dir):
-        e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        both = e.unionByName(
-            e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    def _emb_double(spark, sf_dir):
+        return _t(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
         )
-        return embedding_near_dups(both, threshold=0.999999).select(
+
+    def embedding_neardups(spark, sf_dir):
+        e = _emb_double(spark, sf_dir)
+        pert = e.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.expr(
+                "concat(array(embedding[0] + cast(0.05 as double)),"
+                " slice(embedding, 2, size(embedding) - 1))"
+            ).alias("embedding"),
+        )
+        both = e.unionByName(pert)
+        return embedding_near_dups(both, threshold=0.95).select(
             "id_a", "id_b", F.round("cosine", 6).alias("cosine")
         )
     q["embedding_neardups"] = embedding_neardups
 
+    def _aug_embeddings(spark, sf_dir):
+        """Base embeddings + 5 planted perturbations of vec 0 (coord 0
+        shifted by s·0.01, s = 1..5): the exact top-6 for query vec 0 is
+        itself + the 5 plants (cosine ≥ 0.9987 vs ≤ 0.52 noise), so an
+        ANN result equal to the exact top-6 proves near-dup recall 1."""
+        e = _emb_double(spark, sf_dir)
+        qv = [float(x) for x in
+              e.where(F.col("vec_id") == 0).first()["embedding"]]
+        planted = [
+            (100000 + s, [qv[0] + 0.01 * s] + qv[1:]) for s in range(1, 6)
+        ]
+        aug = e.unionByName(
+            spark.createDataFrame(planted, "vec_id long, embedding array<double>")
+        )
+        return aug, qv
+
     def cosine_topk_ivf(spark, sf_dir):
-        e = _t(spark, sf_dir, "embeddings")
-        qv = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
-        return SIM.cosine_topk_ivf(e, qv, k=10, n_centroids=16, n_probe=6).select(
+        aug, qv = _aug_embeddings(spark, sf_dir)
+        return SIM.cosine_topk_ivf(aug, qv, k=6, n_centroids=16, n_probe=4).select(
             "vec_id", F.round("score", 6).alias("score")
         )
     q["cosine_topk_ivf"] = cosine_topk_ivf
 
     def cosine_topk_lsh(spark, sf_dir):
-        e = _t(spark, sf_dir, "embeddings")
-        qv = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
-        return SIM.cosine_topk_lsh(e, qv, k=10, n_planes=6).select(
+        aug, qv = _aug_embeddings(spark, sf_dir)
+        return SIM.cosine_topk_lsh(aug, qv, k=6, n_planes=8, probe_hamming=2).select(
             "vec_id", F.round("score", 6).alias("score")
         )
     q["cosine_topk_lsh"] = cosine_topk_lsh
@@ -998,6 +1071,72 @@ def oracle_sql() -> dict[str, str]:
            round((n_chars - n_spaces) / greatest(n_words, 1), 6) AS mean_word_len
     FROM s
     """
+
+    # --- recall gates for the approximate dedup/ANN paths: the oracle
+    # computes the EXACT pair set / exact top-k over the same planted
+    # fixture; the approximate Spark result hash-matches iff recall = 1
+    # (precision is 1 by construction — candidates are exact-verified).
+    o["minhash_pairs"] = """
+    WITH base AS (
+      SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT CAST(doc_id AS BIGINT) + 100000, text || ' q'
+      FROM documents WHERE doc_id < 100
+    ),
+    sh AS (SELECT id, list_distinct(list_transform(range(1, greatest(length(text)-2,1)+1),
+               i -> substring(text, CAST(i AS INT), 3))) AS s
+           FROM base),
+    p AS (SELECT a.id AS id_a, b.id AS id_b,
+                 len(list_intersect(a.s, b.s))
+                   / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jac
+          FROM sh a JOIN sh b ON a.id < b.id)
+    SELECT id_a, id_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.8
+    """
+
+    # fingerprints aren't SQL-expressible; the oracle pins the planted
+    # copy-pair count (one per doc) and the blocked-vs-brute deltas,
+    # which the pigeonhole blocking guarantees to be exactly zero
+    o["simhash_pairs"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_copy_pairs,
+           CAST(0 AS BIGINT) AS missed, CAST(0 AS BIGINT) AS extra
+    FROM documents WHERE doc_id < 200
+    """
+
+    o["embedding_neardups"] = """
+    WITH base AS (
+      SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT CAST(vec_id AS BIGINT) + 100000,
+             list_concat([embedding[1]::DOUBLE + CAST(0.05 AS DOUBLE)],
+                         (embedding::DOUBLE[])[2:])
+      FROM embeddings
+    ),
+    e AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS n FROM base),
+    p AS (SELECT a.id AS id_a, b.id AS id_b,
+                 list_dot_product(a.v, b.v) / nullif(a.n * b.n, 0.0) AS cos
+          FROM e a JOIN e b ON a.id < b.id)
+    SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.95
+    """
+
+    _topk_aug = """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    aug AS (
+      SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT CAST(100000 + s AS BIGINT),
+             list_concat([qv[1] + CAST(0.01 AS DOUBLE) * s], qv[2:])
+      FROM q, range(1, 6) t(s)
+    ),
+    sc AS (SELECT id AS vec_id,
+                  list_dot_product(v, qv)
+                    / nullif(sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(qv, qv)), 0.0) AS score_raw
+           FROM aug, q)
+    SELECT vec_id, round(score_raw, 6) AS score
+    FROM sc ORDER BY score_raw DESC, vec_id LIMIT 6
+    """
+    o["cosine_topk_ivf"] = _topk_aug
+    o["cosine_topk_lsh"] = _topk_aug
 
     o["cosine_topk"] = """
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),

@@ -236,29 +236,61 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int = 16,
+    n_bands: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dups: random-hyperplane LSH bucket join
-    (scale path), exact cosine verify on colliding pairs."""
+    """Embedding-cosine near-dups: BANDED random-hyperplane LSH (the
+    MinHash OR-of-ANDs amplification lifted to sign bits), exact cosine
+    verify on colliding pairs.
+
+    A single n_planes-bit bucket requires ALL sign bits to agree — at
+    threshold 0.95 a true pair flips a marginal hyperplane with high
+    probability, so recall collapses as n_planes grows. Banding the
+    planes (n_bands keys of n_planes/n_bands bits; a pair is a candidate
+    if ANY band matches) keeps per-band selectivity while recall ≈
+    1-(1-(1-θ/π)^w)^b — ~1-1.5e-5 per pair at cosine 0.999 with 4×4
+    bits. Band rows carry only (id, band, bkey): the shuffle is 3 scalar
+    columns; vectors rejoin for surviving candidates only."""
     from drought_t_spark.operators.similarity import hyperplane_bucket, cosine_expr
 
-    b = df.select(
+    assert n_planes % n_bands == 0
+    w = n_planes // n_bands
+    vecs = df.select(
         F.col(id_col).alias("id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
-    ).withColumn("bucket", hyperplane_bucket("v", n_planes, seed))
-    cand = (
-        b.alias("a")
-        .join(b.alias("b"), "bucket")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine_expr("a.v", "b.v").alias("cosine"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.where(F.col("cosine") >= threshold)
+    banded = (
+        vecs.withColumn("bucket", hyperplane_bucket("v", n_planes, seed))
+        .select(
+            "id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("bucket", i * w)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("bkey"),
+                    )
+                    for i in range(n_bands)
+                ])
+            ).alias("b"),
+        )
+        .select("id", "b.band", "b.bkey")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bkey"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    scored = (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
+        .withColumn("cosine", cosine_expr("v_a", "v_b"))
+    )
+    return scored.where(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
 
 def ngram_jaccard_pairs(

@@ -94,6 +94,44 @@ def cosine_topk_lsh(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_n: int = 4096,
+    n_iter: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means coarse centroids for IVF, trained on a
+    DETERMINISTIC sample: rows ordered by xxhash64(id) (stable under any
+    partitioning), capped at `sample_n`, Lloyd-iterated on the driver.
+    The collect is bounded by sample_n × dim floats — at 100 TB a 100k ×
+    1k sample is still ~800 MB-free territory (tens of MB); k-means||
+    inside Spark is the alternative if the sample must grow, and the
+    assign/probe expressions downstream don't change either way.
+    Centroids are L2-normalized (spherical k-means: assignment by max
+    dot product == max cosine)."""
+    rows = (
+        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     query_vec,
@@ -103,18 +141,23 @@ def cosine_topk_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: vectors are assigned to their nearest
-    coarse centroid (seeded deterministic unit directions; at production
-    scale train them with k-means|| over a sample and broadcast), and
-    only the query's `n_probe` nearest cells are scanned with exact
-    cosine. Candidate count shrinks ~n_probe/n_centroids; recall < 1 by
-    design — `cosine_topk` is the exact baseline, `cosine_topk_lsh` the
+    coarse centroid (spherical-k-means-trained over a deterministic
+    sample by default — pass `centroids` to reuse a trained set across
+    queries), and only the query's `n_probe` nearest cells are scanned
+    with exact cosine. Candidate count shrinks ~n_probe/n_centroids.
+    Recall is ~1 for near-duplicate neighbors (they share the query's
+    cell) and < 1 by design in the weak-similarity regime —
+    `cosine_topk` is the exact baseline, `cosine_topk_lsh` the
     hyperplane alternative."""
     q = np.asarray(query_vec, dtype=np.float64)
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_centroids, len(q)))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(df, id_col, vec_col, n_centroids, seed=seed)
+    )
 
     # driver-side probe list: the query's n_probe nearest centroids
     probe = np.argsort(-(cents @ q))[:n_probe].tolist()

@@ -109,6 +109,53 @@ def test_embedding_near_dups_finds_self_copies(spark, emb):
     assert want <= set(zip(out.id_a, out.id_b))
 
 
+def _emb_double(emb):
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+
+
+def test_embedding_near_dups_perturbed_recall(spark, emb):
+    """PERTURBED plants (cos ≈ 0.9988, not identical copies) at the
+    advertised threshold 0.95: the banded multi-probe LSH must reach
+    recall 1, which single-bucket collision could not."""
+    e = _emb_double(emb)
+    pert = e.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.expr(
+            "concat(array(embedding[0] + cast(0.05 as double)),"
+            " slice(embedding, 2, size(embedding) - 1))"
+        ).alias("embedding"),
+    )
+    out = embedding_near_dups(e.unionByName(pert), threshold=0.95).toPandas()
+    want = {(r.vec_id, r.vec_id + 10_000) for r in e.select("vec_id").collect()}
+    assert set(zip(out.id_a, out.id_b)) == want  # recall AND precision both 1
+
+
+def test_ivf_trained_centroids_recall_and_quantization(spark, emb):
+    e = _emb_double(emb)
+    qv = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    planted = [(10_000 + s, [qv[0] + 0.01 * s] + qv[1:]) for s in range(1, 11)]
+    aug = e.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<double>")
+    )
+    got = {r.vec_id for r in SIM.cosine_topk_ivf(aug, qv, k=11, n_probe=4).collect()}
+    want = {0} | {10_000 + s for s in range(1, 11)}
+    assert got == want  # recall@10 = 1 for near-dup neighbors at n_probe=4
+
+    # trained centroids quantize the data better than the old seeded
+    # random directions: mean max-cosine to nearest centroid improves
+    C = SIM.train_ivf_centroids(e, n_centroids=16)
+    pdf = emb.toPandas()
+    X = np.stack(pdf.embedding.map(np.asarray)).astype(np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(42)
+    R = rng.standard_normal((16, X.shape[1]))
+    R /= np.linalg.norm(R, axis=1, keepdims=True)
+    assert (X @ C.T).max(axis=1).mean() > (X @ R.T).max(axis=1).mean()
+
+
 def test_text_stats_and_quality(spark, docs):
     stats = TS.text_stats(docs).toPandas()
     base = docs.select("doc_id", "n_chars").toPandas().set_index("doc_id")
