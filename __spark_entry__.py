@@ -1138,6 +1138,112 @@ def oracle_sql() -> dict[str, str]:
     o["cosine_topk_ivf"] = _topk_aug
     o["cosine_topk_lsh"] = _topk_aug
 
+    # PL1 IC pooling as a DuckDB RECURSIVE CTE: a sequential left fold
+    # per source (accumulator merges the next event iff gap_t ≤ t_c and
+    # gap_v ≤ p_c·severity_acc) IS the fixed point of the engine's
+    # pass-based chain merge — the merge criterion only weakens as the
+    # left severity grows (severity ≥ 0.8·s_left + s_right after a
+    # merge), and an emitted accumulator's severity never changes, so
+    # one ordered scan settles every pair. Upstream mirrors the
+    # flagship config: MA(5) → fixed P50 threshold → runs with
+    # deficit/excess → gaps → pool(t_c=3, p_c=0.2) → exclusion
+    # (min_duration=1, s_min=0 ⇒ excluded always false).
+    o["drought_events_full"] = """
+    WITH RECURSIVE
+    b AS (SELECT event_type, date_trunc('day', ts) AS d, avg(value) AS v
+          FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, min(d) lo, max(d) hi FROM b GROUP BY 1),
+    cal AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM r),
+    s AS (SELECT cal.event_type, cal.d, b.v
+          FROM cal LEFT JOIN b ON cal.event_type = b.event_type AND cal.d = b.d),
+    sm AS (SELECT event_type, d,
+                  avg(v) OVER (PARTITION BY event_type ORDER BY d
+                               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS x_ma
+           FROM s),
+    th AS (SELECT event_type, CAST(quantile_cont(x_ma, 0.5) AS DOUBLE) AS x0
+           FROM sm GROUP BY 1),
+    m AS (SELECT sm.event_type, sm.d, sm.x_ma, th.x0,
+                 CASE WHEN sm.x_ma < th.x0 THEN 1 ELSE 0 END AS below
+          FROM sm JOIN th ON sm.event_type = th.event_type),
+    seg AS (SELECT *, CASE WHEN lag(below) OVER w IS NULL
+                             OR lag(below) OVER w <> below THEN 1 ELSE 0 END AS chg
+            FROM m WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+    rid AS (SELECT *, sum(chg) OVER (PARTITION BY event_type ORDER BY d
+                                     ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM seg),
+    allev AS (SELECT event_type, run_id, min(below) AS below,
+                     min(d) AS onset, max(d) AS termination,
+                     CAST(count(*) AS BIGINT) AS duration,
+                     sum(greatest(coalesce(x0 - x_ma, 0.0), 0.0)) AS sev,
+                     sum(greatest(coalesce(x_ma - x0, 0.0), 0.0)) AS excess
+              FROM rid GROUP BY 1, 2),
+    gaps AS (SELECT event_type, run_id - 1 AS run_id,
+                    duration AS gap_t, excess AS gap_v
+             FROM allev WHERE below = 0),
+    ev0 AS (SELECT e.event_type, e.onset, e.termination, e.duration, e.sev,
+                   CASE WHEN lead(e.onset) OVER w2 IS NOT NULL THEN g.gap_t END AS gap_t,
+                   CASE WHEN lead(e.onset) OVER w2 IS NOT NULL THEN g.gap_v END AS gap_v
+            FROM allev e LEFT JOIN gaps g
+              ON e.event_type = g.event_type AND e.run_id = g.run_id
+            WHERE e.below = 1
+            WINDOW w2 AS (PARTITION BY e.event_type ORDER BY e.onset)),
+    numbered AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY onset) AS rn,
+                        count(*) OVER (PARTITION BY event_type) AS nev
+                 FROM ev0),
+    pool AS (
+      SELECT event_type, rn, nev, 'acc' AS kind, onset, termination, duration,
+             sev, gap_t, gap_v, FALSE AS pooled
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT p.event_type,
+             CASE WHEN p.gap_t IS NOT NULL AND p.gap_t <= 3
+                       AND p.gap_v <= 0.2 * p.sev
+                  THEN n.rn ELSE CASE WHEN t.which = 0 THEN p.rn ELSE n.rn END END,
+             p.nev,
+             CASE WHEN p.gap_t IS NOT NULL AND p.gap_t <= 3
+                       AND p.gap_v <= 0.2 * p.sev
+                  THEN 'acc' ELSE CASE WHEN t.which = 0 THEN 'done' ELSE 'acc' END END,
+             CASE WHEN p.gap_t IS NOT NULL AND p.gap_t <= 3
+                       AND p.gap_v <= 0.2 * p.sev
+                  THEN p.onset ELSE CASE WHEN t.which = 0 THEN p.onset ELSE n.onset END END,
+             CASE WHEN p.gap_t IS NOT NULL AND p.gap_t <= 3
+                       AND p.gap_v <= 0.2 * p.sev
+                  THEN n.termination ELSE CASE WHEN t.which = 0 THEN p.termination ELSE n.termination END END,
+             CASE WHEN p.gap_t IS NOT NULL AND p.gap_t <= 3
+                       AND p.gap_v <= 0.2 * p.sev
+                  THEN p.duration + p.gap_t + n.duration
+                  ELSE CASE WHEN t.which = 0 THEN p.duration ELSE n.duration END END,
+             CASE WHEN p.gap_t IS NOT NULL AND p.gap_t <= 3
+                       AND p.gap_v <= 0.2 * p.sev
+                  THEN p.sev + n.sev - p.gap_v
+                  ELSE CASE WHEN t.which = 0 THEN p.sev ELSE n.sev END END,
+             CASE WHEN p.gap_t IS NOT NULL AND p.gap_t <= 3
+                       AND p.gap_v <= 0.2 * p.sev
+                  THEN n.gap_t ELSE CASE WHEN t.which = 0 THEN p.gap_t ELSE n.gap_t END END,
+             CASE WHEN p.gap_t IS NOT NULL AND p.gap_t <= 3
+                       AND p.gap_v <= 0.2 * p.sev
+                  THEN n.gap_v ELSE CASE WHEN t.which = 0 THEN p.gap_v ELSE n.gap_v END END,
+             CASE WHEN p.gap_t IS NOT NULL AND p.gap_t <= 3
+                       AND p.gap_v <= 0.2 * p.sev
+                  THEN TRUE ELSE CASE WHEN t.which = 0 THEN p.pooled ELSE FALSE END END
+      FROM pool p
+      JOIN numbered n ON n.event_type = p.event_type AND n.rn = p.rn + 1
+      CROSS JOIN (VALUES (0), (1)) t(which)
+      WHERE p.kind = 'acc'
+        AND (t.which = 1
+             OR NOT (p.gap_t IS NOT NULL AND p.gap_t <= 3 AND p.gap_v <= 0.2 * p.sev))
+    ),
+    final AS (SELECT * FROM pool
+              WHERE kind = 'done' OR (kind = 'acc' AND rn = nev))
+    SELECT event_type,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY onset) AS BIGINT) AS event_id,
+           onset, termination, duration,
+           round(sev, 3) AS severity,
+           round(sev / duration, 6) AS intensity,
+           pooled, FALSE AS excluded
+    FROM final
+    """
+
     o["cosine_topk"] = """
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
     s AS (SELECT vec_id,
