@@ -226,6 +226,31 @@ def run_codec_throughput(spark, n_buckets: int = 256, tokens_per_bucket: int = 2
     }
 
 
+def compression_probe(n: int = 1_000_000) -> dict:
+    """Codec compression on uniform vs Zipf(1.2) token streams (driver-
+    side NumPy — ratio is distribution property, not a throughput
+    number). Uniform is entropy-bound at log2(50257) ≈ 15.6 bits ≈
+    2.05×; realistic head-heavy streams do better, and the optional
+    TSZZ zlib envelope recovers the class/payload-stream redundancy."""
+    import numpy as np
+
+    from drought_t_spark import synth
+    from drought_t_spark.codec import tsz1
+
+    uni = (
+        synth._key(42, np.arange(n, dtype=np.uint64), 0x544F4B)
+        % np.uint64(synth.VOCAB)
+    ).astype(np.int32)
+    zipf = synth.zipf_tokens(n)
+    e_uni, e_zipf = tsz1.encode_tokens(uni), tsz1.encode_tokens(zipf)
+    return {
+        "compression_x_uniform": round(4 * n / len(e_uni), 2),
+        "compression_x_uniform_zlib": round(4 * n / len(tsz1.wrap_zlib(e_uni)), 2),
+        "compression_x_zipf": round(4 * n / len(e_zipf), 2),
+        "compression_x_zipf_zlib": round(4 * n / len(tsz1.wrap_zlib(e_zipf)), 2),
+    }
+
+
 # ------------------------------------------------------ main bench ----
 
 
@@ -273,6 +298,7 @@ def run_bench() -> dict:
         "rolled_points_per_sec": tok["points_per_sec"],
         "tokens_per_sec_encoded": tok["tokens_per_sec_encoded"],
         "codec_compression_x": tok["compression_x"],
+        **compression_probe(),
     }
 
 

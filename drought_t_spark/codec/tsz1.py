@@ -39,6 +39,7 @@ import numpy as np
 assert sys.byteorder == "little", "TSZ1 byte-matrix packing assumes little-endian"
 
 MAGIC = b"TSZ1"
+MAGIC_Z = b"TSZZ"  # zlib-wrapped container envelope
 VERSION = 1
 VT_INT = 1
 VT_FLOAT = 2
@@ -83,6 +84,26 @@ def _unpack_classes(buf: np.ndarray, n: int) -> np.ndarray:
 
 
 
+def wrap_zlib(container: bytes, level: int = 1) -> bytes:
+    """Optional container envelope: DEFLATE the whole TSZ1 container.
+    The byte-aligned class/payload streams still carry statistical
+    redundancy on skewed (real-world) token distributions that the
+    fixed {0,1,2,4}-byte classes can't reach; DEFLATE's entropy stage
+    recovers it. Level 1 keeps encode ~GB/s-class; the inner CRC still
+    guards the payload after unwrap."""
+    return MAGIC_Z + zlib.compress(container, level)
+
+
+def unwrap(blob: bytes | bytearray | memoryview) -> bytes:
+    b = bytes(blob)
+    if b[:4] == MAGIC_Z:
+        try:
+            return zlib.decompress(b[4:])
+        except zlib.error as ex:
+            raise CodecError(f"corrupt zlib envelope: {ex}") from ex
+    return b
+
+
 def encode_tokens(values) -> bytes:
     """array-like of int32 -> TSZ1 bytes (vtype=1).
 
@@ -117,8 +138,9 @@ def encode_tokens(values) -> bytes:
 
 
 def decode_tokens(blob: bytes | bytearray | memoryview) -> np.ndarray:
-    """TSZ1 bytes -> np.int32 array; raises CodecError on corruption."""
-    b = bytes(blob)
+    """TSZ1 bytes (optionally TSZZ zlib-wrapped) -> np.int32 array;
+    raises CodecError on corruption."""
+    b = unwrap(blob)
     if len(b) < 18 or b[:4] != MAGIC:
         raise CodecError("bad magic/short container")
     (crc,) = struct.unpack("<I", b[-4:])
@@ -189,7 +211,7 @@ def encode_floats(values) -> bytes:
 
 
 def decode_floats(blob) -> np.ndarray:
-    b = bytes(blob)
+    b = unwrap(blob)
     if len(b) < 18 or b[:4] != MAGIC:
         raise CodecError("bad magic/short container")
     (crc,) = struct.unpack("<I", b[-4:])

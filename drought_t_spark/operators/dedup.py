@@ -74,6 +74,7 @@ def minhash_lsh_pairs(
     bands: int | None = None,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 256,
+    materialize=None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH: banding tuned to the
     threshold, signature-estimate prefilter, exact Jaccard verify.
@@ -88,11 +89,15 @@ def minhash_lsh_pairs(
     `max_bucket` drops degenerate band buckets (> max_bucket members,
     i.e. >max_bucket²/2 pairs): giant clusters are boilerplate already
     caught by exact dedup, and the cap bounds the worst skewed reducer.
-    The signature table is localCheckpoint(eager)ed — it is reused by
-    both self-join sides and both estimate joins, and unlike persist()
-    the checkpoint blocks are ContextCleaner-collected once the result
-    is dropped (persist would pin CacheManager entries for the session).
-    At production scale materialize it as a table instead."""
+    The signature table is materialized — it is reused by both
+    self-join sides and both estimate joins. `materialize=None`
+    (default) uses localCheckpoint(eager): unlike persist() the blocks
+    are ContextCleaner-collected once the result is dropped, BUT it
+    computes at call time and ties the result to executor liveness —
+    pass `lambda df: df` for lazy, or a write-table callback at
+    production scale."""
+    if materialize is None:
+        materialize = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
     if bands is None:
         bands = auto_bands(n_hashes, jaccard_threshold)
     rows_per_band = n_hashes // bands
@@ -104,13 +109,15 @@ def minhash_lsh_pairs(
     )
     # let-bind the shingle set so it is built once per row, not once per
     # hash seed (the seed transform's lambda body would otherwise inline it)
-    sig_tbl = base.select(
-        "id",
-        F.expr(
-            f"transform(array({sh_expr}), sh -> transform(sequence(0, {n_hashes - 1}),"
-            f" i -> array_min(transform(sh, s -> xxhash64(s, i)))))[0]"
-        ).alias("sig"),
-    ).localCheckpoint(eager=True)
+    sig_tbl = materialize(
+        base.select(
+            "id",
+            F.expr(
+                f"transform(array({sh_expr}), sh -> transform(sequence(0, {n_hashes - 1}),"
+                f" i -> array_min(transform(sh, s -> xxhash64(s, i)))))[0]"
+            ).alias("sig"),
+        )
+    )
     # Band rows carry ONLY (id, band, bkey) — never shingle arrays.
     # The band shuffle is then 3 scalar columns wide; wide arrays rejoin
     # only for surviving pairs. At 100TB this is the difference between

@@ -30,7 +30,10 @@ def rollup_tiers(seqs: DataFrame, cfg: EngineConfig = DEFAULT, salted: bool = Fa
 
 
 def drought_events_for_tier(
-    tier_df: DataFrame, tier: str, cfg: EngineConfig = DEFAULT
+    tier_df: DataFrame,
+    tier: str,
+    cfg: EngineConfig = DEFAULT,
+    materialize=None,
 ) -> DataFrame:
     """The drought-method DAG on one rolled-up tier (SURVEY.md §3.2 #2):
     gap-fill → MA → threshold(+broadcast join) → below-mask → runs →
@@ -44,10 +47,17 @@ def drought_events_for_tier(
     again by the pooling loop's first checkpoint). Without these, the
     DAG re-evaluated the full gap-fill+MA+percentile pipeline up to 4×
     per run — measured 353 s vs 40 s on a 256-site × 10-year fixture.
-    localCheckpoint (not persist) so blocks are GC-collected with the
-    result; at production scale materialize them as tables instead."""
+
+    `materialize` makes that an explicit caller choice: None (default)
+    = localCheckpoint(eager) — right for single-job runs, but it
+    computes at call time and truncates lineage (an executor loss after
+    the checkpoint is unrecoverable on a real cluster); pass
+    `lambda df: df` for a fully lazy plan, or a write-to-table-and-
+    read-back callback for the production multi-stage path."""
+    if materialize is None:
+        materialize = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
     filled = gap_fill(tier_df, tier, cfg)
-    sm = moving_avg(filled, cfg.ma_window).localCheckpoint(eager=True)
+    sm = materialize(moving_avg(filled, cfg.ma_window))
     if cfg.threshold_mode == "variable":
         th = variable_threshold(sm, tier, cfg)
         joined = attach_threshold(sm, th, tier, variable=True)
@@ -56,7 +66,7 @@ def drought_events_for_tier(
         joined = attach_threshold(sm, th, variable=False)
     masked = below_mask(joined)
     runs = segment_runs(masked)
-    rev = extract_events(runs).localCheckpoint(eager=True)
+    rev = materialize(extract_events(runs))
     ev = events_with_gaps(rev)
     if cfg.pooling == "ic":
         ev = pool_events(ev, cfg)

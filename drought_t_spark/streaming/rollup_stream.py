@@ -47,6 +47,25 @@ def streaming_hour_rollup(stream: DataFrame, watermark: str = "2 hours") -> Data
     )
 
 
+def start_append_stream(spark: SparkSession, path: str,
+                        name: str = "stream_tier_hour_append",
+                        watermark: str = "2 hours"):
+    """Append-mode variant: a window row is emitted only once its end
+    falls behind the watermark, and rows arriving later than the
+    watermark are DROPPED (the late-data contract; the idempotent batch
+    re-rollup over the committed table reconciles them — SURVEY.md
+    §2.11). Returns the running StreamingQuery; the caller drives
+    micro-batches (processAllAvailable) between file drops so the
+    watermark actually advances between batches."""
+    agg = streaming_hour_rollup(read_sequence_stream(spark, path), watermark)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+
+
 def run_to_memory(spark: SparkSession, path: str, name: str = "stream_tier_hour"):
     """Drive the stream to completion over static files (test helper)."""
     agg = streaming_hour_rollup(read_sequence_stream(spark, path))

@@ -53,6 +53,44 @@ def test_compression_on_smooth_series():
     assert len(enc) / (4 * len(smooth)) < 0.5  # ≥2× on smooth ints
 
 
+@given(st.lists(st.integers(-(2**31), 2**31 - 1), max_size=2048))
+@settings(max_examples=100, deadline=None)
+def test_zlib_envelope_roundtrip_property(xs):
+    a = np.asarray(xs, np.int32)
+    np.testing.assert_array_equal(
+        tsz1.decode_tokens(tsz1.wrap_zlib(tsz1.encode_tokens(a))), a
+    )
+
+
+def test_zlib_envelope_corruption_raises():
+    blob = bytearray(tsz1.wrap_zlib(tsz1.encode_tokens([1, 2, 3, 4, 5])))
+    blob[6] ^= 0x5A
+    with pytest.raises(tsz1.CodecError):
+        tsz1.decode_tokens(bytes(blob))
+
+
+def test_compression_zipf_beats_uniform():
+    """Head-heavy (realistic) token streams compress materially better
+    than uniform-random ones, and the zlib envelope adds on top."""
+    from drought_t_spark import synth
+
+    n = 200_000
+    uni = (
+        synth._key(42, np.arange(n, dtype=np.uint64), 0x544F4B)
+        % np.uint64(synth.VOCAB)
+    ).astype(np.int32)
+    zipf = synth.zipf_tokens(n)
+    ratio = lambda toks, enc: 4 * len(toks) / len(enc)
+    r_uni = ratio(uni, tsz1.encode_tokens(uni))
+    r_zipf = ratio(zipf, tsz1.encode_tokens(zipf))
+    r_zipf_z = ratio(zipf, tsz1.wrap_zlib(tsz1.encode_tokens(zipf)))
+    assert r_zipf > r_uni
+    assert r_zipf_z > r_zipf
+    np.testing.assert_array_equal(
+        tsz1.decode_tokens(tsz1.wrap_zlib(tsz1.encode_tokens(zipf))), zipf
+    )
+
+
 FLOAT_PINNED = [
     [],
     [0.0],

@@ -2,12 +2,60 @@
 tumbling-window aggregate over static files must equal the batch AG1
 rollup on the same input."""
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
 from drought_t_spark import synth
 from drought_t_spark.operators import rollup as R
-from drought_t_spark.streaming.rollup_stream import run_to_memory
+from drought_t_spark.streaming.rollup_stream import run_to_memory, start_append_stream
+
+
+def _seq_batch(spark, seqs: list[int], source: str = "src_0000"):
+    """Rows with explicit minute indices (ts = epoch + seq minutes)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"{source}/{s:012d}" for s in seqs],
+            "tokens": [[1, 2, 3]] * len(seqs),
+            "n_tok": pd.array([3] * len(seqs), dtype="int32"),
+            "source": source,
+        }
+    )
+    from drought_t_spark.schemas import SEQUENCES
+
+    return spark.createDataFrame(pdf, SEQUENCES)
+
+
+def test_watermark_drops_late_rows_batch_reconciles(spark, tmp_path):
+    """Late-data contract (SURVEY.md §2.11): a row older than the
+    watermark is dropped by the append-mode stream, while the idempotent
+    batch re-rollup over the same files still counts it — so a finalized
+    streamed window differs from batch by exactly the late rows."""
+    path = str(tmp_path / "late_seqs")
+    # batch 1: minutes 0..239 (hour buckets 0-3); max event time 03:59
+    _seq_batch(spark, list(range(240))).write.mode("overwrite").parquet(path)
+    q = start_append_stream(spark, path, name="q_wm", watermark="2 hours")
+    try:
+        q.processAllAvailable()  # watermark advances to 03:59 - 2h = 01:59
+        # batch 2: one LATE row in hour 0 (behind the watermark → drop)
+        # plus rows in hour 4 that push the watermark past hour 1's end
+        _seq_batch(spark, [30, 250, 251]).write.mode("append").parquet(path)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql("SELECT * FROM q_wm").toPandas().set_index("bucket_start")
+    # hours 0 and 1 are finalized (ends 01:00/02:00 ≤ final watermark
+    # 02:10); the late minute-30 row must NOT be in hour 0's count
+    h0 = streamed.loc[pd.Timestamp("2024-01-01 00:00:00")]
+    h1 = streamed.loc[pd.Timestamp("2024-01-01 01:00:00")]
+    assert int(h0.n_seq) == 60 and int(h1.n_seq) == 60
+    # batch reconciliation counts the late row: hour 0 has 61 rows
+    batch = (
+        R.rollup_hour(R.with_event_time(spark.read.parquet(path)))
+        .where(F.col("bucket_start") == "2024-01-01 00:00:00")
+        .first()
+    )
+    assert int(batch.n_seq) == 61
 
 
 def test_streaming_rollup_equals_batch(spark, tmp_path):
