@@ -680,6 +680,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["payload_pack_synth"] = payload_pack_synth
 
+    def retention_route_synth(spark, sf_dir):
+        """Retention engine end-to-end: roll up ~32 days of synthetic
+        sequences, expire the hour tier behind a cutoff (coverage-
+        checked), then answer a 5-week range via the tier-routed
+        continuous-aggregate read — totals per serving tier."""
+        import shutil
+        import tempfile
+
+        from drought_t_spark import synth
+        from drought_t_spark.plans.retention import expire_tier, read_series
+        from drought_t_spark.sources.warehouse import Warehouse
+
+        root = tempfile.mkdtemp(prefix="wh_ret_")
+        try:
+            wh = Warehouse(root)
+            # 2 sources: the heavy one spans ~33 days (needs one whole
+            # month for the month-tier route). Tiers written directly —
+            # the checkpointed job path is covered by test_retention /
+            # test_resume; this query smokes expiry + routed read.
+            seqs = synth.sequences_df(spark, n_sources=2, n_total=68_000)
+            # checkpoint the cascade inputs: each tier is consumed by
+            # both its write and the next cascade stage
+            hour = R.rollup_hour(R.with_event_time(seqs)).localCheckpoint(eager=True)
+            day = R.cascade(hour, "day").localCheckpoint(eager=True)
+            wh.write_partitioned(hour, "agg.tier_hour", ["source"])
+            wh.write_partitioned(day, "agg.tier_day", ["source"])
+            wh.write_partitioned(R.cascade(day, "month"), "agg.tier_month", ["source"])
+            expire_tier(spark, wh, "jobQ", "hour", "2024-01-10 00:00:00")
+            out = (
+                read_series(spark, wh, "2024-01-01 00:00:00", "2024-02-05 00:00:00")
+                .groupBy("tier")
+                .agg(
+                    F.count("*").cast("long").alias("n_buckets"),
+                    F.sum("n_tok_sum").cast("long").alias("n_tokens"),
+                )
+            )
+            # materialize before the warehouse directory disappears
+            return out.localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    q["retention_route_synth"] = retention_route_synth
+
     def drought_events_full(spark, sf_dir):
         tier = _daily_series(spark, sf_dir)
         return drought_events_for_tier(tier, "day", _FLAGSHIP_CFG).select(

@@ -313,7 +313,9 @@ def run_scaling_child(cores: int, t0_dir: str) -> None:
     spark = build_session(f"bench-scale-{cores}", master=f"local[{cores}]",
                           shuffle_partitions=max(8, cores))
     tok = run_token_job(spark, sf, scale_mult=mult, t0_dir=t0_dir, iters=3)
-    codec = run_codec_throughput(spark, iters=2)
+    # 4 samples: host-steal bursts last minutes, and a contaminated min
+    # at ONE parallelism level corrupts the efficiency ratio directly
+    codec = run_codec_throughput(spark, iters=4)
     print(json.dumps({"cores": cores, **tok, **codec}))
 
 
@@ -362,6 +364,41 @@ def run_scaling() -> None:
     }))
 
 
+def run_scaling_codec() -> None:
+    """Codec-kernel-only N-vs-4N sample (~2 min): the host steals CPU in
+    multi-minute bursts, so one full --scaling run can catch a single
+    parallelism level in a bad window and corrupt the ratio. This cheap
+    probe is run several times across a session; BASELINE.md reports the
+    min-per-core across attempts (min-over-iterations extended over
+    time windows — steal only ever adds time)."""
+    import subprocess
+
+    out = {}
+    for cores in (2, 8, 32):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-codec-child",
+             str(cores)],
+            capture_output=True, text=True, check=True,
+        )
+        out[cores] = json.loads(r.stdout.strip().splitlines()[-1])
+        _log(f"local[{cores}]: {out[cores]}")
+    print(json.dumps({
+        "local2": out[2], "local8": out[8], "local32": out[32],
+        "efficiency_2_to_8":
+            round((out[2]["sec_codec"] / out[8]["sec_codec"]) / 4, 3),
+        "efficiency_8_to_32":
+            round((out[8]["sec_codec"] / out[32]["sec_codec"]) / 4, 3),
+    }))
+
+
+def run_scaling_codec_child(cores: int) -> None:
+    from drought_t_spark.session import build_session
+
+    spark = build_session(f"bench-codec-{cores}", master=f"local[{cores}]",
+                          shuffle_partitions=max(8, cores))
+    print(json.dumps({"cores": cores, **run_codec_throughput(spark, iters=3)}))
+
+
 def run_scaling_gen(mult: int, t0_dir: str) -> None:
     from drought_t_spark.session import build_session
 
@@ -374,6 +411,10 @@ def run_scaling_gen(mult: int, t0_dir: str) -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 3 and sys.argv[1] == "--scaling-child":
         run_scaling_child(int(sys.argv[2]), sys.argv[3])
+    elif len(sys.argv) > 2 and sys.argv[1] == "--scaling-codec-child":
+        run_scaling_codec_child(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-codec":
+        run_scaling_codec()
     elif len(sys.argv) > 3 and sys.argv[1] == "--scaling-gen":
         run_scaling_gen(int(sys.argv[2]), sys.argv[3])
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":

@@ -57,6 +57,17 @@ class Warehouse:
     def append(self, df: DataFrame, table: str) -> None:
         df.write.mode("append").parquet(self.path(table))
 
+    def drop_partitions(self, table: str, partition_col: str, values: list[str]) -> None:
+        """Remove whole hive partitions (Iceberg stand-in for a
+        partition-predicate DELETE + expire_snapshots)."""
+        import shutil
+
+        for v in values:
+            shutil.rmtree(
+                os.path.join(self.path(table), f"{partition_col}={v}"),
+                ignore_errors=True,
+            )
+
     @staticmethod
     def snapshot_token(df: DataFrame, key_cols: list[str]) -> str:
         """Deterministic content token (Iceberg snapshot-id stand-in).

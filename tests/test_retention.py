@@ -1,0 +1,83 @@
+"""Retention + tier-routing read (SURVEY.md §8 round-2; the "retention
+engine" half of the north rule): fine tiers expire only once the
+coarser tier provably covers them, and the routed read serves each
+sub-range from the coarsest covering tier with exact additive totals.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from drought_t_spark import synth
+from drought_t_spark.config import EngineConfig
+from drought_t_spark.plans.retention import RetentionError, expire_tier, read_series
+from drought_t_spark.plans.rollup_job import run_rollup_job
+from drought_t_spark.sources.warehouse import Warehouse
+
+CFG = EngineConfig(salt_buckets=4)
+
+
+@pytest.fixture(scope="module")
+def wh(spark, tmp_path_factory):
+    """Warehouse with ~62 days of data for the heaviest source (90k
+    sequences at 1/minute, Zipf-skewed across 4 sources)."""
+    w = Warehouse(str(tmp_path_factory.mktemp("wh_retention")))
+    seqs = synth.sequences_df(spark, n_sources=4, n_total=90_000)
+    run_rollup_job(spark, w, seqs, "jobR", CFG, n_groups=2, with_payloads=False)
+    return w
+
+
+def _tok_sum(df):
+    return df.agg(F.sum("n_tok_sum")).first()[0] or 0
+
+
+def test_routed_read_exact_and_tiered(spark, wh):
+    # Feb is the one whole month inside: day tier serves Jan 2-31 and
+    # Mar 1, hour serves the ragged edges (Jan 1 02:00-24:00, Mar 2 00-05)
+    lo, hi = "2024-01-01 02:00:00", "2024-03-02 05:00:00"
+    routed = read_series(spark, wh, lo, hi)
+    hour = wh.read(spark, "agg.tier_hour").where(
+        (F.col("bucket_start") >= lo) & (F.col("bucket_start") < hi)
+    )
+    # additive totals conserved exactly across the tier routing
+    assert _tok_sum(routed) == _tok_sum(hour)
+    tiers = {r.tier for r in routed.select("tier").distinct().collect()}
+    assert tiers == {"hour", "day", "month"}
+    # the routed plan reads far fewer rows than the hour tier would
+    assert routed.count() < hour.count()
+
+
+def test_expire_requires_coverage_then_drops(spark, wh):
+    cutoff = "2024-01-20 00:00:00"
+    pre = wh.read(spark, "agg.tier_hour")
+    pre_total = _tok_sum(pre)
+    old_range_total = _tok_sum(pre.where(F.col("bucket_start") < cutoff))
+    res = expire_tier(spark, wh, "jobR", "hour", cutoff)
+    assert res["expired"] > 0
+    post = wh.read(spark, "agg.tier_hour")
+    assert post.where(F.col("bucket_start") < cutoff).count() == 0
+    assert post.count() == res["kept"]
+    # the expired range is still fully answerable from the day tier
+    day_route = read_series(spark, wh, "2024-01-01 00:00:00", cutoff)
+    assert {r.tier for r in day_route.select("tier").distinct().collect()} == {"day"}
+    assert _tok_sum(day_route) == old_range_total
+    # nothing else was lost
+    assert _tok_sum(post) == pre_total - old_range_total
+    # month has no coarser tier to retain into
+    with pytest.raises(ValueError):
+        expire_tier(spark, wh, "jobR", "month", cutoff)
+
+
+def test_expire_refuses_uncovered_range(spark, tmp_path):
+    wh2 = Warehouse(str(tmp_path / "wh_uncov"))
+    seqs = synth.sequences_df(spark, n_sources=3, n_total=30_000)
+    run_rollup_job(spark, wh2, seqs, "jobU", CFG, n_groups=2, with_payloads=False)
+    # truncate the day tier so part of the would-be-expired range has
+    # no coarser coverage — the expiry must refuse and change nothing
+    day = wh2.read(spark, "agg.tier_day").localCheckpoint(eager=True)
+    wh2.write_partitioned(
+        day.where(F.col("bucket_start") < "2024-01-05"), "agg.tier_day", ["source"]
+    )
+    n_before = wh2.read(spark, "agg.tier_hour").count()
+    with pytest.raises(RetentionError):
+        expire_tier(spark, wh2, "jobU", "hour", "2024-01-08 00:00:00")
+    assert wh2.read(spark, "agg.tier_hour").count() == n_before
