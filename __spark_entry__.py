@@ -574,6 +574,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["simhash_pairs"] = simhash_pairs
 
+    def dedup_clusters(spark, sf_dir):
+        """Near-dup clustering: 100 docs + two graduated perturbed
+        copies each; exact-jaccard pairs at 0.8 (A~c1 and c1~c2 always
+        pair; A~c2 only sometimes) → connected components must collapse
+        each chain to one keeper = the original id. At scale the pair
+        input comes from minhash_lsh_pairs — same (id_a, id_b) shape."""
+        from drought_t_spark.operators.dedup import near_dup_clusters, ngram_jaccard_pairs
+
+        d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        c1 = d.select((F.col("doc_id") + 100000).alias("doc_id"),
+                      F.concat("text", F.lit(" q")).alias("text"))
+        c2 = d.select((F.col("doc_id") + 200000).alias("doc_id"),
+                      F.concat("text", F.lit(" q qq zz")).alias("text"))
+        all3 = _scaled(spark, d.unionByName(c1).unionByName(c2))
+        pairs = ngram_jaccard_pairs(all3, threshold=0.8).select("id_a", "id_b")
+        return near_dup_clusters(
+            pairs, all3.select(F.col("doc_id").alias("id"))
+        ).select("id", "keeper")
+    q["dedup_clusters"] = dedup_clusters
+
     def _emb_double(spark, sf_dir):
         return _t(spark, sf_dir, "embeddings").select(
             F.col("vec_id").cast("long").alias("vec_id"),
@@ -755,10 +777,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["streaming_rollup"] = streaming_rollup
 
+    # --- multimodal plumbing, ORACLE-CHECKED: the decoder body stays a
+    # documented stub (no media libs in this container), but the
+    # mapInPandas plumbing — row coverage, payload byte accounting,
+    # feature-vector shape + normalization, frame slicing — is now
+    # hash-checked against DuckDB twins computed from the same text
+    # bytes (payload = UTF-8 text; sizes are SQL-derivable).
     def multimodal_features(spark, sf_dir):
         media = synth_media(_t(spark, sf_dir, "documents"))
         feats = decode_image_features(media)
-        return feats.select("media_id", "n_bytes", "crc32")
+        return feats.select(
+            "media_id",
+            "n_bytes",
+            F.size("features").alias("n_features"),
+            F.round(
+                F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("feat_sum"),
+        )
     q["multimodal_features"] = multimodal_features
 
     def multimodal_resize(spark, sf_dir):
@@ -1179,6 +1214,63 @@ def oracle_sql() -> dict[str, str]:
     """
     o["cosine_topk_ivf"] = _topk_aug
     o["cosine_topk_lsh"] = _topk_aug
+
+    # near-dup clustering twin: same exact pair set, transitive closure
+    # as a recursive CTE (min reachable id per node = component keeper)
+    o["dedup_clusters"] = """
+    WITH RECURSIVE
+    base AS (
+      SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT CAST(doc_id AS BIGINT) + 100000, text || ' q'
+      FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT CAST(doc_id AS BIGINT) + 200000, text || ' q qq zz'
+      FROM documents WHERE doc_id < 100
+    ),
+    sh AS (SELECT id, list_distinct(list_transform(range(1, greatest(length(text)-2,1)+1),
+               i -> substring(text, CAST(i AS INT), 3))) AS s
+           FROM base),
+    p AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM sh a JOIN sh b ON a.id < b.id
+          WHERE len(list_intersect(a.s, b.s))
+                / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+    e AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT id, id AS r FROM base
+      UNION
+      SELECT e.s AS id, reach.r FROM e JOIN reach ON reach.id = e.d
+    )
+    SELECT id, CAST(min(r) AS BIGINT) AS keeper FROM reach GROUP BY id
+    """
+
+    # multimodal plumbing twins: payload = UTF-8 text bytes, so byte
+    # accounting / vector shape / frame slicing are SQL-derivable even
+    # though the decoder body is a stub
+    o["multimodal_features"] = """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(16 AS INTEGER) AS n_features,
+           CAST(1.0 AS DOUBLE) AS feat_sum
+    FROM documents
+    """
+
+    o["multimodal_resize"] = """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+           CAST(least(256, octet_length(encode(text))) AS BIGINT) AS n_bytes
+    FROM documents
+    """
+
+    o["multimodal_frames"] = """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(4 AS BIGINT) AS n_frames,
+           CAST(least(octet_length(encode(text)),
+                      4 * greatest(1, octet_length(encode(text)) // 4))
+                AS BIGINT) AS frame_bytes
+    FROM documents
+    """
 
     # PL1 IC pooling as a DuckDB RECURSIVE CTE: a sequential left fold
     # per source (accumulator merges the next event iff gap_t ≤ t_c and

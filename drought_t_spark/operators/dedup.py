@@ -300,6 +300,61 @@ def embedding_near_dups(
     return scored.where(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "id",
+    max_iters: int = 25,
+    materialize=None,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → one canonical
+    keeper (= min id) per cluster: the step that turns pairwise dedup
+    output into droppable duplicates (transitive chains A~B~C collapse
+    even when A~C never paired directly).
+
+    Iterative min-label propagation: rep ← min(rep, min over neighbors'
+    rep), one join + one groupBy per round, converging in O(component
+    diameter) rounds — near-dup clusters are shallow (dups of dups), so
+    2-4 rounds in practice. Each round shuffles only (id, rep) pairs.
+    For adversarial web-scale graphs with long chains, swap the loop
+    body for the large-star/small-star contraction — the DataFrame-only
+    shape is the same. Returns (id, keeper) for EVERY vertex
+    (singletons keep themselves)."""
+    if materialize is None:
+        materialize = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = materialize(
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
+    labels = materialize(
+        vertices.select(F.col(id_col).alias("id")).withColumn("rep", F.col("id"))
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("rep").alias("nrep")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nrep").alias("min_nbr"))
+            .select(F.col("src").alias("id"), "min_nbr")
+        )
+        # one materialized frame per round carries both the new label
+        # and the old (for the convergence count) — no second join
+        upd = materialize(
+            labels.join(nbr, "id", "left").select(
+                "id",
+                F.col("rep").alias("old"),
+                F.least("rep", F.coalesce("min_nbr", F.col("rep"))).alias("rep"),
+            )
+        )
+        changed = upd.where(F.col("rep") != F.col("old")).count()
+        labels = upd.select("id", "rep")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("rep").alias("keeper"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

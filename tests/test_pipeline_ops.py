@@ -156,6 +156,21 @@ def test_ivf_trained_centroids_recall_and_quantization(spark, emb):
     assert (X @ C.T).max(axis=1).mean() > (X @ R.T).max(axis=1).mean()
 
 
+def test_near_dup_clusters_transitive_chains(spark):
+    from drought_t_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "id_a long, id_b long",
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21, 22, 23, 24, 99)], "id long"
+    )
+    out = {r.id: r.keeper for r in near_dup_clusters(pairs, verts).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20, 24: 20, 99: 99}
+
+
 def test_text_stats_and_quality(spark, docs):
     stats = TS.text_stats(docs).toPandas()
     base = docs.select("doc_id", "n_chars").toPandas().set_index("doc_id")
