@@ -246,6 +246,7 @@ def embedding_near_dups(
     n_planes: int = 16,
     n_bands: int = 4,
     seed: int = 42,
+    materialize=None,
 ) -> DataFrame:
     """Embedding-cosine near-dups: BANDED random-hyperplane LSH (the
     MinHash OR-of-ANDs amplification lifted to sign bits), exact cosine
@@ -263,9 +264,16 @@ def embedding_near_dups(
 
     assert n_planes % n_bands == 0
     w = n_planes // n_bands
-    vecs = df.select(
-        F.col(id_col).alias("id"),
-        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    if materialize is None:
+        materialize = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    # the vector table feeds the band explode AND both verify-join
+    # sides: materialized once (same posture as the minhash signature
+    # table) so the input is scanned once, not 3-4×
+    vecs = materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+        )
     )
     banded = (
         vecs.withColumn("bucket", hyperplane_bucket("v", n_planes, seed))
