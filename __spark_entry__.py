@@ -226,6 +226,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["run_summary"] = run_summary
 
+    def runs_events_variable(spark, sf_dir):
+        """Variable-threshold (TH1) runs on the hourly tier: x0 varies
+        by hour-of-week cycle position (the seasonal threshold the
+        method prescribes for sub-daily tiers), strict below, run
+        extraction — the variable-mode twin of `runs_events`."""
+        from drought_t_spark.operators.runs import below_mask, segment_runs
+        from drought_t_spark.operators.threshold import attach_threshold, variable_threshold
+
+        # inputs rounded to 6dp BEFORE the threshold so the percentile
+        # operands — and hence x0, a 6dp value or an exact midpoint —
+        # are identical across engines; severity in half-micro integer
+        # units ((x0−x_ma)·2e6 is integer-valued for such operands) is
+        # then exact under ANY summation order (the W6 trick)
+        h = _hour_stats(spark, sf_dir).withColumn("value", F.round("avg_raw", 6))
+        filled = gap_fill(h, "hour", EngineConfig(), value_cols=("value",))
+        sm = moving_avg(filled, 1)
+        cfg_v = EngineConfig(threshold_pct=0.5, threshold_ma_window=1)
+        th = variable_threshold(sm, "hour", cfg_v)
+        joined = attach_threshold(sm, th, "hour", variable=True)
+        runs = segment_runs(below_mask(joined))
+        du = F.round((F.col("x0") - F.col("x_ma")) * 2e6, 0).cast("long")
+        return (
+            runs.where(F.col("below") == 1)
+            .groupBy(F.col("source").alias("event_type"), "run_id")
+            .agg(
+                F.min("bucket_start").alias("onset"),
+                F.max("bucket_start").alias("termination"),
+                F.count("*").cast("long").alias("duration"),
+                F.sum(du).cast("long").alias("severity_units"),
+            )
+            .drop("run_id")
+        )
+    q["runs_events_variable"] = runs_events_variable
+
     # --- cumulative deficit (W6) ---
     def cumulative_deficit(spark, sf_dir):
         # inputs rounded to 6dp on BOTH engines before the running sum so
@@ -918,6 +952,35 @@ def oracle_sql() -> dict[str, str]:
            round(avg(duration), 6) AS mean_duration,
            round(max(sev_raw), 3) AS max_severity
     FROM ev GROUP BY 1
+    """
+
+    # variable-threshold runs: cycle position = hour-of-week; Spark's
+    # cycle_pos is (dayofweek-1)*24+hour with Sunday=1, DuckDB's
+    # dayofweek is Sunday=0 — same 0..167 index on both engines
+    o["runs_events_variable"] = f"""
+    WITH {_SQL_HOURLY},
+    sm AS (SELECT event_type, bucket_start, round(avg_raw, 6) AS x_ma,
+                  dayofweek(bucket_start) * 24 + hour(bucket_start) AS cp
+           FROM s),
+    th AS (SELECT event_type, cp, CAST(quantile_cont(x_ma, 0.5) AS DOUBLE) AS x0
+           FROM sm GROUP BY 1, 2),
+    m AS (SELECT sm.event_type, sm.bucket_start, sm.x_ma, th.x0,
+                 CASE WHEN sm.x_ma < th.x0 THEN 1 ELSE 0 END AS below
+          FROM sm LEFT JOIN th ON sm.event_type = th.event_type AND sm.cp = th.cp),
+    seg AS (SELECT *, CASE WHEN lag(below) OVER w IS NULL
+                             OR lag(below) OVER w <> below THEN 1 ELSE 0 END AS chg
+            FROM m WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)),
+    rid AS (SELECT *, sum(chg) OVER (PARTITION BY event_type ORDER BY bucket_start
+                                     ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM seg),
+    ev AS (SELECT event_type, run_id, min(bucket_start) AS onset,
+                  max(bucket_start) AS termination,
+                  CAST(count(*) AS BIGINT) AS duration,
+                  CAST(sum(CAST(round((x0 - x_ma) * 2000000.0, 0) AS BIGINT))
+                       AS BIGINT) AS severity_units
+           FROM rid WHERE below = 1 GROUP BY 1, 2)
+    SELECT event_type, onset, termination, duration, severity_units
+    FROM ev
     """
 
     o["cumulative_deficit"] = f"""

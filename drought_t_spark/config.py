@@ -59,6 +59,7 @@ class EngineConfig:
 
     # --- codec ---
     payload_codec: str = "TSZ1"
+    payload_zlib: bool = False   # wrap containers in the TSZZ DEFLATE envelope
 
     def with_(self, **kw) -> "EngineConfig":
         return replace(self, **kw)

@@ -93,7 +93,7 @@ _PAYLOAD_SCHEMA = (
 )
 
 
-def _encode_stream(batches):
+def _encode_stream(batches, wrap_zlib: bool = False):
     """mapInPandas kernel: a partition's batches arrive hash-partitioned
     by (source, bucket_start, chunk_id) and sorted by (keys, seq). Group
     boundaries are found vectorized (np.unique on adjacent-change), each
@@ -107,6 +107,10 @@ def _encode_stream(batches):
 
     from drought_t_spark.codec import tsz1
 
+    if wrap_zlib:
+        enc = lambda a: tsz1.wrap_zlib(tsz1.encode_tokens(a))  # noqa: E731
+    else:
+        enc = tsz1.encode_tokens
     carry = None
 
     def flush(pdf, complete_only):
@@ -138,7 +142,7 @@ def _encode_stream(batches):
             out_src.append(src[s])
             out_bkt.append(bkt[s])
             out_chk.append(int(chk[s]))
-            out_pay.append(tsz1.encode_tokens(flat))
+            out_pay.append(enc(flat))
             out_n.append(int(ntok[s:e].sum()))
         return pd.DataFrame(
             {
@@ -207,9 +211,13 @@ def pack_payloads(
     parts = base.repartition("source", "bucket_start", "chunk_id").sortWithinPartitions(
         "source", "bucket_start", "chunk_id", "seq"
     )
-    pay = parts.mapInPandas(_encode_stream, _PAYLOAD_SCHEMA)
+    wrap = bool(cfg.payload_zlib)
+    pay = parts.mapInPandas(
+        lambda batches: _encode_stream(batches, wrap_zlib=wrap), _PAYLOAD_SCHEMA
+    )
+    codec_name = cfg.payload_codec + ("+zlib" if wrap else "")
     return (
-        pay.withColumn("payload_codec", F.lit(cfg.payload_codec))
+        pay.withColumn("payload_codec", F.lit(codec_name))
         .withColumn("payload_crc32", F.crc32("payload").cast("long"))
         .select(
             "source", "bucket_start", "chunk_id", "payload",

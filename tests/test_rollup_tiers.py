@@ -87,6 +87,26 @@ def test_payload_roundtrip_and_invariants(spark, seqs):
     np.testing.assert_array_equal(tsz1.decode_tokens(heavy.payload), want)
 
 
+def test_payload_zlib_envelope_equivalent(spark, seqs):
+    """cfg.payload_zlib wraps each container in the TSZZ envelope:
+    identical decoded token streams per bucket, codec column tagged."""
+    raw = R.pack_payloads(seqs, "hour", CFG).select(
+        "source", "bucket_start", "chunk_id", "payload"
+    )
+    z = R.pack_payloads(seqs, "hour", CFG.with_(payload_zlib=True)).select(
+        "source", "bucket_start", "chunk_id",
+        F.col("payload").alias("zpayload"), "payload_codec",
+    )
+    j = raw.join(z, ["source", "bucket_start", "chunk_id"]).collect()
+    assert len(j) > 0
+    for r in j:
+        assert r.payload_codec == "TSZ1+zlib"
+        assert bytes(r.zpayload)[:4] == b"TSZZ"
+        np.testing.assert_array_equal(
+            tsz1.decode_tokens(r.zpayload), tsz1.decode_tokens(r.payload)
+        )
+
+
 def test_payload_cascade_equals_from_raw(spark, seqs):
     hour_pay = R.pack_payloads(seqs, "hour", CFG)
     day_from_hour = R.cascade_payloads(hour_pay, "day", CFG)
