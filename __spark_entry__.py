@@ -535,6 +535,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TS.quality_score(_t(spark, sf_dir, "documents"))
     q["quality_score"] = quality_score
 
+    def repetition_stats(spark, sf_dir):
+        return TS.repetition_stats(_scaled(spark, _t(spark, sf_dir, "documents")))
+    q["repetition_stats"] = repetition_stats
+
     # --- similarity search ---
     def cosine_topk(spark, sf_dir):
         e = _t(spark, sf_dir, "embeddings")
@@ -1439,6 +1443,27 @@ def oracle_sql() -> dict[str, str]:
            round(sev / duration, 6) AS intensity,
            pooled, FALSE AS excluded
     FROM final
+    """
+
+    o["repetition_stats"] = """
+    WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+                      list_filter(string_split(text, chr(10)), l -> l <> '') AS ls
+               FROM documents),
+    bg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS b
+           FROM w, unnest(range(1, greatest(len(ws), 1))) t(i)
+           WHERE len(ws) > 1),
+    cnt AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+    top AS (SELECT doc_id, max(c) AS mx FROM cnt GROUP BY 1)
+    SELECT w.doc_id,
+           CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(top.mx, 0) AS BIGINT) AS top_bigram_count,
+           round(coalesce(top.mx, 0) / CAST(greatest(len(ws) - 1, 1) AS DOUBLE), 6)
+             AS top_bigram_frac,
+           round(1.0 - len(list_distinct(ws)) / CAST(greatest(len(ws), 1) AS DOUBLE), 6)
+             AS dup_word_frac,
+           round(1.0 - len(list_distinct(ls)) / CAST(greatest(len(ls), 1) AS DOUBLE), 6)
+             AS dup_line_frac
+    FROM w LEFT JOIN top ON w.doc_id = top.doc_id
     """
 
     o["cosine_topk"] = """

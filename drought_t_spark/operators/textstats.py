@@ -130,3 +130,52 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.expr(f"md5(lower({norm}))").alias("fp_md5"),
         F.expr(rolling).alias("fp_rolling"),
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    duplicate-word / duplicate-line fractions and the share of word
+    bigrams taken by the single most frequent bigram — the standard
+    filters for boilerplate / degenerate repetition in training text.
+
+    All JVM-side: the top-bigram count folds ONCE over the sorted
+    bigram array (longest equal-adjacent run == max multiplicity), so
+    there is no per-document explode/groupBy shuffle — the whole
+    operator is a projection."""
+    w = _WORDS.format(c=text_col)
+    lines = f"filter(split({text_col}, '\\n'), l -> l <> '')"
+    # bigrams over the let-bound word array (built once per row)
+    bg_best = (
+        "transform(array(" + w + "), ws -> "
+        " aggregate("
+        "   array_sort(transform(sequence(1, greatest(size(ws) - 1, 0)),"
+        "     i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))),"
+        "   named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),"
+        "   (acc, x) -> named_struct("
+        "     'prev', x,"
+        "     'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1L),"
+        "     'best', greatest(acc.best,"
+        "        IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1L))),"
+        "   acc -> acc.best))[0]"
+    )
+    n_bg = f"greatest(size({w}) - 1, 0)"
+    return df.select(
+        F.col(id_col),
+        F.expr(n_bg).cast("long").alias("n_bigrams"),
+        F.expr(bg_best).cast("long").alias("top_bigram_count"),
+        F.round(
+            F.expr(bg_best) / F.expr(f"greatest({n_bg}, 1)"), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.lit(1.0)
+            - F.expr(f"size(array_distinct({w}))") / F.expr(f"greatest(size({w}), 1)"),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.lit(1.0)
+            - F.expr(f"size(array_distinct({lines}))")
+            / F.expr(f"greatest(size({lines}), 1)"),
+            6,
+        ).alias("dup_line_frac"),
+    )

@@ -181,6 +181,21 @@ def test_text_stats_and_quality(spark, docs):
     assert q.quality.between(0, 4).all()
 
 
+def test_repetition_stats_flags_degenerate_text(spark):
+    rows = [
+        (1, "spam ham spam ham spam ham spam ham"),   # one bigram pair loops
+        (2, "all words here are completely distinct"),
+        (3, "dup line\ndup line\nfresh line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TS.repetition_stats(df).collect()}
+    # doc 1: bigrams = [spam ham]x4 + [ham spam]x3 → top count 4 of 7
+    assert out[1].top_bigram_count == 4 and out[1].n_bigrams == 7
+    assert out[1].dup_word_frac > 0.7
+    assert out[2].top_bigram_count == 1 and out[2].dup_word_frac == 0.0
+    assert abs(out[3].dup_line_frac - 1 / 3) < 1e-6
+
+
 def test_lang_id_majority_english(spark, docs):
     out = TS.lang_id(docs).toPandas()
     # synthetic corpus is tagged en; the stopword voter must agree broadly
