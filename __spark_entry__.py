@@ -821,6 +821,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # feature-vector shape + normalization, frame slicing — is now
     # hash-checked against DuckDB twins computed from the same text
     # bytes (payload = UTF-8 text; sizes are SQL-derivable).
+    def streaming_ingest_synth(spark, sf_dir):
+        """Incremental continuous-aggregate ingest end-to-end: stream
+        micro-batches into idempotent per-batch partials, serve the
+        exact live view, compact into the committed tier."""
+        import shutil
+        import tempfile
+
+        from drought_t_spark import synth
+        from drought_t_spark.sources.warehouse import Warehouse
+        from drought_t_spark.streaming.rollup_stream import (
+            compact_stream_partials,
+            read_stream_hour_tier,
+            start_tier_ingest,
+        )
+
+        root = tempfile.mkdtemp(prefix="stream_ingest_")
+        try:
+            in_dir, ckpt = f"{root}/in", f"{root}/ckpt"
+            wh = Warehouse(f"{root}/wh")
+            synth.sequences_df(spark, n_sources=3, n_total=3000).write.mode(
+                "append"
+            ).parquet(in_dir)
+            sq = start_tier_ingest(spark, in_dir, wh, ckpt, files_per_trigger=2)
+            sq.processAllAvailable()
+            sq.stop()
+            compact_stream_partials(spark, wh)
+            out = (
+                read_stream_hour_tier(spark, wh)
+                .groupBy("source")
+                .agg(
+                    F.count("*").cast("long").alias("n_buckets"),
+                    F.sum("n_tok_sum").cast("long").alias("n_tokens"),
+                )
+            )
+            return out.localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    q["streaming_ingest_synth"] = streaming_ingest_synth
+
     def multimodal_features(spark, sf_dir):
         media = synth_media(_t(spark, sf_dir, "documents"))
         feats = decode_image_features(media)

@@ -66,6 +66,102 @@ def start_append_stream(spark: SparkSession, path: str,
     )
 
 
+PARTIALS_TBL = "agg.stream_partials_hour"
+
+
+def start_tier_ingest(spark: SparkSession, path: str, wh, checkpoint_dir: str,
+                      files_per_trigger: int = 1):
+    """Incremental continuous-aggregate ingest: each micro-batch's hour
+    partials (mergeable integer stats) land in `agg.stream_partials_hour`
+    partitioned by batch_id via idempotent partition overwrite.
+
+    foreachBatch is at-least-once — a crash between sink and stream
+    checkpoint replays the batch — so the sink must be IDEMPOTENT, not
+    guarded: a replayed batch overwrites its own partition with
+    identical rows instead of double-merging into the tier. The
+    committed tier stays untouched until `compact_stream_partials`
+    folds partials in (the Iceberg append-only + compaction shape);
+    `read_stream_hour_tier` serves the exact up-to-date aggregate
+    meanwhile by merging tier + partials at read time."""
+    from drought_t_spark.operators import rollup as R
+
+    t1 = R.with_event_time(read_sequence_stream(spark, path, files_per_trigger))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        part = R.rollup_hour(batch_df).withColumn("batch_id", F.lit(int(batch_id)))
+        wh.write_partitioned(part, PARTIALS_TBL, ["batch_id"])
+
+    return (
+        t1.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _merge_agg():
+    # built lazily: Column construction needs an active SparkContext
+    return [
+        F.sum("n_seq").alias("n_seq"),
+        F.sum("n_tok_sum").alias("n_tok_sum"),
+        F.min("n_tok_min").alias("n_tok_min"),
+        F.max("n_tok_max").alias("n_tok_max"),
+    ]
+
+
+_STAT_COLS = ["source", "bucket_start", "n_seq", "n_tok_sum", "n_tok_min", "n_tok_max"]
+
+
+def read_stream_hour_tier(spark: SparkSession, wh) -> DataFrame:
+    """The live continuous aggregate: committed tier ⊎ stream partials,
+    re-merged on the mergeable integer stats. Exact at any moment; cost
+    grows with un-compacted batch count (bucket-level rows per batch),
+    so compact periodically."""
+    from drought_t_spark.operators.rollup import _finish
+
+    parts = []
+    if wh.exists("agg.tier_hour"):
+        parts.append(
+            wh.read(spark, "agg.tier_hour").where(~F.col("gap_filled")).select(*_STAT_COLS)
+        )
+    if wh.exists(PARTIALS_TBL):
+        parts.append(wh.read(spark, PARTIALS_TBL).select(*_STAT_COLS))
+    assert parts, "no tier data ingested yet"
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return _finish(u.groupBy("source", "bucket_start").agg(*_merge_agg()))
+
+
+def compact_stream_partials(spark: SparkSession, wh, job_id: str = "stream-compact") -> int:
+    """Fold all stream partials into the committed hour tier and drop
+    them. Safe against concurrent replayed sinks in the same batch set:
+    the merged tier is materialized BEFORE the overwrite (it reads the
+    files it replaces), and partial partitions are dropped only after
+    the tier write. Returns the number of batch partitions folded."""
+    from drought_t_spark.ops import checkpoints as CP
+    from drought_t_spark.sources.warehouse import Warehouse
+
+    if not wh.exists(PARTIALS_TBL):
+        return 0
+    partials = wh.read(spark, PARTIALS_TBL)
+    batch_ids = [str(r.batch_id) for r in partials.select("batch_id").distinct().collect()]
+    if not batch_ids:
+        return 0
+    n_partials = partials.count()  # BEFORE the partitions are dropped
+    merged = read_stream_hour_tier(spark, wh).localCheckpoint(eager=True)
+    wh.write_partitioned(merged, "agg.tier_hour", ["source"])
+    wh.drop_partitions(PARTIALS_TBL, "batch_id", batch_ids)
+    CP.record_commit(
+        spark, wh, job_id, "stream_compact", [f"batches:{len(batch_ids)}"],
+        snapshot_id=Warehouse.snapshot_token(
+            wh.read(spark, "agg.tier_hour"), ["source", "bucket_start"]
+        ),
+        rows_in=n_partials, rows_out=merged.count(),
+        metrics={"folded_batches": float(len(batch_ids))},
+    )
+    return len(batch_ids)
+
+
 def run_to_memory(spark: SparkSession, path: str, name: str = "stream_tier_hour"):
     """Drive the stream to completion over static files (test helper)."""
     agg = streaming_hour_rollup(read_sequence_stream(spark, path))

@@ -58,6 +58,55 @@ def test_watermark_drops_late_rows_batch_reconciles(spark, tmp_path):
     assert int(batch.n_seq) == 61
 
 
+def _assert_same_stats(a, b):
+    cols = ["source", "bucket_start", "n_seq", "n_tok_sum", "n_tok_min", "n_tok_max"]
+    a, b = a.select(*cols), b.select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stream_ingest_incremental_and_compaction(spark, tmp_path):
+    """Continuous-aggregate ingest: per-batch partials land idempotently,
+    the live view equals the batch rollup at every stage (restart from
+    checkpoint included), and compaction folds partials into the
+    committed tier without changing the answer."""
+    from drought_t_spark.sources.warehouse import Warehouse
+    from drought_t_spark.streaming.rollup_stream import (
+        PARTIALS_TBL,
+        compact_stream_partials,
+        read_stream_hour_tier,
+        start_tier_ingest,
+    )
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    synth.sequences_df(spark, n_sources=2, n_total=2000).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = start_tier_ingest(spark, in_dir, wh, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    def batch_truth():
+        return R.rollup_hour(R.with_event_time(spark.read.parquet(in_dir)))
+
+    _assert_same_stats(read_stream_hour_tier(spark, wh), batch_truth())
+
+    # restart from the same checkpoint; only the NEW file is processed
+    _seq_batch(spark, list(range(50_000, 50_240))).write.mode("append").parquet(in_dir)
+    q = start_tier_ingest(spark, in_dir, wh, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    _assert_same_stats(read_stream_hour_tier(spark, wh), batch_truth())
+    n_batches = wh.read(spark, PARTIALS_TBL).select("batch_id").distinct().count()
+    assert n_batches >= 2
+
+    # compaction folds partials into the committed tier, same answer
+    folded = compact_stream_partials(spark, wh)
+    assert folded == n_batches
+    _assert_same_stats(wh.read(spark, "agg.tier_hour"), batch_truth())
+    _assert_same_stats(read_stream_hour_tier(spark, wh), batch_truth())
+
+
 def test_streaming_rollup_equals_batch(spark, tmp_path):
     path = str(tmp_path / "seqs")
     seqs = synth.sequences_df(spark, n_sources=3, n_total=3000)
