@@ -361,6 +361,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["interval_join"] = interval_join
 
+    def asof_join_hourly(spark, sf_dir):
+        """J7 — generic backward as-of join: each event probes at
+        ts + 30 min for the latest hourly bucket at-or-before the probe
+        (crossing the hour boundary when the next bucket exists, falling
+        back across gaps when it doesn't). DuckDB's native ASOF JOIN is
+        the oracle."""
+        from drought_t_spark.operators.asof import asof_join
+
+        ev = _t(spark, sf_dir, "events").select(
+            "event_type", "event_id",
+            F.expr("ts + interval 30 minutes").alias("probe"),
+        )
+        h = _hour_stats(spark, sf_dir).select(
+            F.col("source").alias("event_type"), "bucket_start", "avg_raw"
+        )
+        out = asof_join(
+            ev, h, by=["event_type"], left_ts="probe", right_ts="bucket_start",
+            value_cols=["bucket_start", "avg_raw"],
+        )
+        return out.select(
+            "event_type", "event_id", "bucket_start",
+            F.round("avg_raw", 6).alias("avg_value"),
+        )
+    q["asof_join_hourly"] = asof_join_hourly
+
     # --- time-keyed range frame (W7) ---
     def ma_rangebetween(spark, sf_dir):
         h = _hour_stats(spark, sf_dir)
@@ -1071,6 +1096,17 @@ def oracle_sql() -> dict[str, str]:
     FROM b JOIN ev ON b.event_type = ev.event_type
                   AND b.d BETWEEN ev.onset AND ev.termination
     GROUP BY 1, 2
+    """
+
+    o["asof_join_hourly"] = """
+    WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                      avg(value) AS avg_raw
+               FROM events GROUP BY 1, 2)
+    SELECT e.event_type, e.event_id, b.bucket_start,
+           round(b.avg_raw, 6) AS avg_value
+    FROM (SELECT event_type, event_id, ts + INTERVAL 30 MINUTE AS probe
+          FROM events) e
+    ASOF JOIN b ON e.event_type = b.event_type AND e.probe >= b.bucket_start
     """
 
     o["ma_rangebetween"] = """

@@ -156,6 +156,37 @@ def test_ivf_trained_centroids_recall_and_quantization(spark, emb):
     assert (X @ C.T).max(axis=1).mean() > (X @ R.T).max(axis=1).mean()
 
 
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from drought_t_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 10), 1.0), ("a", datetime(2024, 1, 1, 12), 2.0),
+         ("b", datetime(2024, 1, 1, 11), 9.0)],
+        "k string, rts timestamp, v double",
+    )
+    left = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 9), 1),    # before any right row
+         ("a", datetime(2024, 1, 1, 10), 2),   # exact tie → inclusive
+         ("a", datetime(2024, 1, 1, 11, 30), 3),  # between ticks → 10:00
+         ("a", datetime(2024, 1, 1, 23), 4),   # after last → 12:00
+         ("b", datetime(2024, 1, 1, 12), 5)],
+        "k string, lts timestamp, id int",
+    )
+    inner = {
+        r.id: r.v
+        for r in asof_join(left, right, by=["k"], left_ts="lts", right_ts="rts").collect()
+    }
+    assert inner == {2: 1.0, 3: 1.0, 4: 2.0, 5: 9.0}  # id 1 dropped (no match)
+    outer = {
+        r.id: r.v
+        for r in asof_join(left, right, by=["k"], left_ts="lts", right_ts="rts",
+                           how="left").collect()
+    }
+    assert outer[1] is None and len(outer) == 5
+
+
 def test_near_dup_clusters_transitive_chains(spark):
     from drought_t_spark.operators.dedup import near_dup_clusters
 
