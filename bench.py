@@ -62,6 +62,8 @@ HEADLINE = [
     "text_stats",
     "lang_id",
     "cosine_topk",
+    "asof_join_hourly",
+    "repetition_stats",
 ]
 
 

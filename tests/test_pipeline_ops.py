@@ -156,6 +156,29 @@ def test_ivf_trained_centroids_recall_and_quantization(spark, emb):
     assert (X @ C.T).max(axis=1).mean() > (X @ R.T).max(axis=1).mean()
 
 
+def test_fixed_threshold_approx_within_rank_error(spark):
+    """The mergeable-sketch threshold must sit within the documented
+    rank error of the exact percentile on a 20k-value series."""
+    import numpy as np
+
+    from drought_t_spark.config import EngineConfig
+    from drought_t_spark.operators.threshold import fixed_threshold, fixed_threshold_approx
+
+    n = 20_000
+    vals = np.sin(np.arange(n) * 0.37) * 50 + np.arange(n) % 97
+    df = spark.createDataFrame(
+        [("s", float(v)) for v in vals], "source string, x_ma double"
+    )
+    cfg = EngineConfig(threshold_pct=0.5)
+    exact = fixed_threshold(df, cfg).first()["x0"]
+    approx = fixed_threshold_approx(df, cfg, accuracy=10_000).first()["x0"]
+    # rank error 1e-4 of 20k values = ±2 ranks; translate via the sorted
+    # neighborhood rather than assuming value-space closeness
+    s = np.sort(vals)
+    lo, hi = s[max(0, n // 2 - 4)], s[min(n - 1, n // 2 + 4)]
+    assert lo <= approx <= hi, (exact, approx, lo, hi)
+
+
 def test_asof_join_semantics(spark):
     from datetime import datetime
 
