@@ -11,6 +11,7 @@ deterministic from the seed.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -132,6 +133,31 @@ def train_ivf_centroids(
     return C
 
 
+def _topk_ivf_udf(df, q, cents, k, id_col, vec_col, n_probe) -> DataFrame:
+    """IVF scan with Arrow-batched cell assignment: one NumPy matmul +
+    argmax per record batch (closure-captured centroids — Spark ships
+    them once per executor, exactly what a broadcast would do for an
+    ndarray). The probed-cell filter runs inside the same pass so
+    un-probed vectors never cross into the JVM scoring stage."""
+    from pyspark.sql.functions import pandas_udf
+
+    probe = set(int(x) for x in np.argsort(-(cents @ q))[:n_probe])
+    C = cents.astype(np.float64)
+
+    @pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.map(np.asarray)).astype(np.float64)
+        return pd.Series(np.argmax(X @ C.T, axis=1).astype(np.int32))
+
+    dv = df.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    ).withColumn("cell", cell_of(F.col("v")))
+    cand = dv.where(F.col("cell").isin(list(probe)))
+    scored = cand.select(id_col, cosine_expr("v", _lit_vec(q)).alias("score"))
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     query_vec,
@@ -158,6 +184,12 @@ def cosine_topk_ivf(
         if centroids is not None
         else train_ivf_centroids(df, id_col, vec_col, n_centroids, seed=seed)
     )
+    if cents.size > 4096:
+        # large codebooks: the inlined-literal argmax expression grows
+        # as n_centroids × dim and is interpreted per element — switch
+        # to the Arrow-batched matmul path (same assignment, closure-
+        # broadcast centroids, one BLAS argmax per record batch)
+        return _topk_ivf_udf(df, q, cents, k, id_col, vec_col, n_probe)
 
     # driver-side probe list: the query's n_probe nearest centroids
     probe = np.argsort(-(cents @ q))[:n_probe].tolist()

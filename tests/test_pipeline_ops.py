@@ -156,6 +156,21 @@ def test_ivf_trained_centroids_recall_and_quantization(spark, emb):
     assert (X @ C.T).max(axis=1).mean() > (X @ R.T).max(axis=1).mean()
 
 
+def test_ivf_udf_path_matches_expression_path(spark, emb):
+    """The Arrow-matmul assignment (large-codebook path) must return
+    exactly what the inlined-literal expression path returns for the
+    same trained centroids, query and n_probe."""
+    e = _emb_double(emb)
+    qv = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    C = SIM.train_ivf_centroids(e, n_centroids=16)
+    expr_ids = [r.vec_id for r in
+                SIM.cosine_topk_ivf(e, qv, k=10, n_probe=4, centroids=C).collect()]
+    udf_ids = [r.vec_id for r in
+               SIM._topk_ivf_udf(e, np.asarray(qv, dtype=np.float64), C, 10,
+                                 "vec_id", "embedding", 4).collect()]
+    assert expr_ids == udf_ids
+
+
 def test_fixed_threshold_approx_within_rank_error(spark):
     """The mergeable-sketch threshold must sit within the documented
     rank error of the exact percentile on a 20k-value series."""
