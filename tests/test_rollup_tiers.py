@@ -114,6 +114,12 @@ def test_payload_cascade_equals_from_raw(spark, seqs):
     a = day_from_hour.select("source", "bucket_start", "payload_crc32", "payload_n_tokens")
     b = day_from_raw.select("source", "bucket_start", "payload_crc32", "payload_n_tokens")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # second cascade hop: month re-coded from day partials == from raw
+    month_from_day = R.cascade_payloads(day_from_hour, "month", CFG)
+    month_from_raw = R.pack_payloads(seqs, "month", CFG, chunk_minutes=44640)
+    c = month_from_day.select("source", "bucket_start", "payload_crc32", "payload_n_tokens")
+    d = month_from_raw.select("source", "bucket_start", "payload_crc32", "payload_n_tokens")
+    assert c.exceptAll(d).count() == 0 and d.exceptAll(c).count() == 0
 
 
 def test_gap_injection_creates_missing_buckets(spark, seqs):
