@@ -226,9 +226,11 @@ def pack_payloads(
     )
 
 
-def _recode_group(pdf):
+def _recode_group(pdf, wrap_zlib: bool = False):
     """applyInPandas kernel for tier cascading: decode member payloads
-    in (bucket_start, chunk_id) order, concat, re-encode."""
+    in (bucket_start, chunk_id) order, concat, re-encode. Decode
+    auto-detects the TSZZ envelope, so mixed raw/zlib inputs cascade
+    fine; the output envelope follows `wrap_zlib`."""
     import numpy as np
     import pandas as pd
 
@@ -243,12 +245,15 @@ def _recode_group(pdf):
         if len(order)
         else np.array([], np.int32)
     )
+    blob = tsz1.encode_tokens(flat)
+    if wrap_zlib:
+        blob = tsz1.wrap_zlib(blob)
     return pd.DataFrame(
         {
             "source": [pdf["source"].iloc[0]],
             "bucket_start": [pdf["bucket_start"].iloc[0]],
             "chunk_id": [0],
-            "payload": [tsz1.encode_tokens(flat)],
+            "payload": [blob],
             "payload_n_tokens": [int(pdf["payload_n_tokens"].sum())],
         }
     )
@@ -266,11 +271,13 @@ def cascade_payloads(payloads: DataFrame, to_tier: str, cfg: EngineConfig = DEFA
         F.col("bucket_start").alias("fine_bucket"),
         "chunk_id", "payload", "payload_n_tokens",
     )
+    wrap = bool(cfg.payload_zlib)
     out = regrouped.groupBy("source", "bucket_start").applyInPandas(
-        _recode_group, _PAYLOAD_SCHEMA
+        lambda pdf: _recode_group(pdf, wrap_zlib=wrap), _PAYLOAD_SCHEMA
     )
+    codec_name = cfg.payload_codec + ("+zlib" if wrap else "")
     return (
-        out.withColumn("payload_codec", F.lit(cfg.payload_codec))
+        out.withColumn("payload_codec", F.lit(codec_name))
         .withColumn("payload_crc32", F.crc32("payload").cast("long"))
         .select(
             "source", "bucket_start", "chunk_id", "payload",

@@ -105,6 +105,25 @@ def test_payload_zlib_envelope_equivalent(spark, seqs):
         np.testing.assert_array_equal(
             tsz1.decode_tokens(r.zpayload), tsz1.decode_tokens(r.payload)
         )
+    # the envelope survives the cascade re-code path too
+    zcfg = CFG.with_(payload_zlib=True)
+    zc = R.cascade_payloads(R.pack_payloads(seqs, "hour", zcfg), "day", zcfg)
+    rawc = R.cascade_payloads(R.pack_payloads(seqs, "hour", CFG), "day", CFG)
+    j2 = (
+        rawc.select("source", "bucket_start", F.col("payload").alias("p_raw"))
+        .join(
+            zc.select("source", "bucket_start", F.col("payload").alias("p_z"),
+                      "payload_codec"),
+            ["source", "bucket_start"],
+        )
+        .collect()
+    )
+    assert len(j2) > 0
+    for r in j2:
+        assert r.payload_codec == "TSZ1+zlib" and bytes(r.p_z)[:4] == b"TSZZ"
+        np.testing.assert_array_equal(
+            tsz1.decode_tokens(r.p_z), tsz1.decode_tokens(r.p_raw)
+        )
 
 
 def test_payload_cascade_equals_from_raw(spark, seqs):
