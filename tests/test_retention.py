@@ -45,6 +45,24 @@ def test_routed_read_exact_and_tiered(spark, wh):
     # the routed plan reads far fewer rows than the hour tier would
     assert routed.count() < hour.count()
 
+    # boundary sweep: for ANY [lo, hi) the routed read must equal the
+    # hour tier filtered to the same range (slices partition the range
+    # and every coarser bucket is the exact sum of its hour buckets)
+    ranges = [
+        ("2024-01-31 23:00:00", "2024-02-01 01:00:00"),  # straddles a month edge
+        ("2024-01-01 00:00:00", "2024-03-01 00:00:00"),  # exact month bounds
+        ("2024-01-15 07:00:00", "2024-01-15 19:00:00"),  # inside one day
+        ("2024-01-02 13:00:00", "2024-02-29 11:00:00"),  # leap-February end
+        ("2024-02-29 00:00:00", "2024-03-03 00:00:00"),  # leap day start
+        ("2024-01-31 00:00:00", "2024-02-01 00:00:00"),  # exactly one day
+    ]
+    for lo2, hi2 in ranges:
+        r2 = read_series(spark, wh, lo2, hi2)
+        h2 = wh.read(spark, "agg.tier_hour").where(
+            (F.col("bucket_start") >= lo2) & (F.col("bucket_start") < hi2)
+        )
+        assert _tok_sum(r2) == _tok_sum(h2), (lo2, hi2)
+
 
 def test_expire_requires_coverage_then_drops(spark, wh):
     cutoff = "2024-01-20 00:00:00"
