@@ -145,11 +145,13 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     operator is a projection."""
     w = _WORDS.format(c=text_col)
     lines = f"filter(split({text_col}, '\\n'), l -> l <> '')"
-    # bigrams over the let-bound word array (built once per row)
+    # bigrams over the let-bound word array (built once per row); docs with
+    # <2 words have no bigrams — sequence(1, size-1) would count DOWN from 1
+    # to 0 there and index past the array, so that branch short-circuits to 0
     bg_best = (
         "transform(array(" + w + "), ws -> "
-        " aggregate("
-        "   array_sort(transform(sequence(1, greatest(size(ws) - 1, 0)),"
+        " IF(size(ws) < 2, 0L, aggregate("
+        "   array_sort(transform(sequence(1, size(ws) - 1),"
         "     i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))),"
         "   named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),"
         "   (acc, x) -> named_struct("
@@ -157,7 +159,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
         "     'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1L),"
         "     'best', greatest(acc.best,"
         "        IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1L))),"
-        "   acc -> acc.best))[0]"
+        "   acc -> acc.best)))[0]"
     )
     n_bg = f"greatest(size({w}) - 1, 0)"
     return df.select(

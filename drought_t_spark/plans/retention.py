@@ -60,6 +60,24 @@ def expire_tier(
     coarser = COARSER.get(tier)
     if coarser is None:
         raise ValueError(f"tier {tier!r} has no coarser tier to retain into")
+    # the cutoff must sit on a COARSER-tier bucket boundary: a mid-day /
+    # mid-month cutoff would pass the coverage check (the coarse bucket
+    # exists) yet expire only part of that bucket's fine rows, leaving
+    # read_series with a ragged edge inside a partially-expired bucket
+    from datetime import datetime
+
+    cut_t = cutoff if isinstance(cutoff, datetime) else datetime.fromisoformat(str(cutoff))
+    aligned = (
+        cut_t.replace(hour=0, minute=0, second=0, microsecond=0)
+        if coarser == "day"
+        else cut_t.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    )
+    if aligned != cut_t:
+        raise RetentionError(
+            f"cutoff {cut_t.isoformat()} is not aligned to a {coarser}-tier "
+            f"bucket boundary; expiring part of a {coarser} bucket would break "
+            f"read_series exactness — use {aligned.isoformat()} or the next boundary"
+        )
     tbl = f"agg.tier_{tier}"
     df = wh.read(spark, tbl)
     cutoff_lit = F.lit(cutoff).cast("timestamp")
@@ -147,6 +165,8 @@ def read_series(
         return f.replace(year=f.year + (f.month == 12), month=f.month % 12 + 1)
 
     lo_t, hi_t = _parse(lo), _parse(hi)
+    if not lo_t < hi_t:
+        raise ValueError(f"read_series needs lo < hi, got [{lo_t}, {hi_t})")
     # bucket-aligned boundaries, computed on the driver so every tier
     # scan gets a LITERAL range filter (pushdown + partition pruning)
     d_lo, d_hi = min(_ceil_day(lo_t), hi_t), max(_floor_day(hi_t), lo_t)

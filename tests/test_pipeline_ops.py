@@ -225,6 +225,74 @@ def test_asof_join_semantics(spark):
     assert outer[1] is None and len(outer) == 5
 
 
+def test_asof_join_null_right_values(spark):
+    """A right row whose payload is genuinely NULL must still count as
+    the match (struct carry, not per-column LOCF): inner keeps the left
+    row with a null value, and no output row mixes columns from two
+    different right rows. DuckDB's native ASOF JOIN is the oracle."""
+    from datetime import datetime
+
+    import duckdb
+
+    from drought_t_spark.operators.asof import asof_join
+
+    right_rows = [
+        ("a", datetime(2024, 1, 1, 10), 1.0, "r1"),
+        ("a", datetime(2024, 1, 1, 12), None, None),   # all-null payload
+        ("a", datetime(2024, 1, 1, 14), None, "r3"),   # mixed-null payload
+        ("b", datetime(2024, 1, 1, 11), 9.0, "s1"),
+    ]
+    left_rows = [
+        ("a", datetime(2024, 1, 1, 9), 1),    # no match
+        ("a", datetime(2024, 1, 1, 11), 2),   # → r1
+        ("a", datetime(2024, 1, 1, 13), 3),   # → the all-null row (NOT r1)
+        ("a", datetime(2024, 1, 1, 15), 4),   # → r3 (v null, tag r3 — no mixing)
+        ("b", datetime(2024, 1, 1, 12), 5),   # → s1
+    ]
+    right = spark.createDataFrame(right_rows, "k string, rts timestamp, v double, tag string")
+    left = spark.createDataFrame(left_rows, "k string, lts timestamp, id int")
+    got = {
+        r.id: (r.v, r.tag)
+        for r in asof_join(left, right, by=["k"], left_ts="lts", right_ts="rts").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r AS SELECT * FROM (VALUES "
+                + ",".join("(?,?,?,?)" for _ in right_rows)
+                + ") t(k, rts, v, tag)",
+                [x for row in right_rows for x in row])
+    con.execute("CREATE TABLE l AS SELECT * FROM (VALUES "
+                + ",".join("(?,?,?)" for _ in left_rows) + ") t(k, lts, id)",
+                [x for row in left_rows for x in row])
+    want = {
+        int(i): (v, tag)
+        for i, v, tag in con.execute(
+            "SELECT l.id, r.v, r.tag FROM l ASOF JOIN r"
+            " ON l.k = r.k AND l.lts >= r.rts"
+        ).fetchall()
+    }
+    assert got == want
+    assert got[3] == (None, None) and got[4] == (None, "r3")
+    # left mode keeps the unmatched row with nulls
+    outer = {
+        r.id: (r.v, r.tag)
+        for r in asof_join(left, right, by=["k"], left_ts="lts", right_ts="rts",
+                           how="left").collect()
+    }
+    assert outer[1] == (None, None) and len(outer) == 5
+
+
+def test_repetition_stats_short_docs(spark):
+    """<2-word docs are exactly the degenerate inputs a quality filter
+    must survive: 0 bigrams, never an array-index error."""
+    rows = [(1, ""), (2, "word"), (3, "  "), (4, "two words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TS.repetition_stats(df).collect()}
+    for i in (1, 2, 3):
+        assert out[i].n_bigrams == 0 and out[i].top_bigram_count == 0
+        assert out[i].top_bigram_frac == 0.0
+    assert out[4].n_bigrams == 1 and out[4].top_bigram_count == 1
+
+
 def test_near_dup_clusters_transitive_chains(spark):
     from drought_t_spark.operators.dedup import near_dup_clusters
 

@@ -85,6 +85,25 @@ def test_expire_requires_coverage_then_drops(spark, wh):
         expire_tier(spark, wh, "jobR", "month", cutoff)
 
 
+def test_expire_refuses_unaligned_cutoff(spark, wh):
+    """A mid-coarse-bucket cutoff would pass the coverage check yet
+    expire only part of that bucket's fine rows — must refuse before
+    touching anything (and without needing the tier tables at all)."""
+    n_before = wh.read(spark, "agg.tier_hour").count()
+    with pytest.raises(RetentionError, match="not aligned"):
+        expire_tier(spark, wh, "jobR", "hour", "2024-01-21 06:00:00")
+    with pytest.raises(RetentionError, match="not aligned"):
+        expire_tier(spark, wh, "jobR", "day", "2024-01-15 00:00:00")  # mid-month
+    assert wh.read(spark, "agg.tier_hour").count() == n_before
+
+
+def test_read_series_rejects_empty_range(spark, wh):
+    with pytest.raises(ValueError, match="lo < hi"):
+        read_series(spark, wh, "2024-02-01 00:00:00", "2024-02-01 00:00:00")
+    with pytest.raises(ValueError, match="lo < hi"):
+        read_series(spark, wh, "2024-02-02 00:00:00", "2024-02-01 00:00:00")
+
+
 def test_expire_refuses_uncovered_range(spark, tmp_path):
     wh2 = Warehouse(str(tmp_path / "wh_uncov"))
     seqs = synth.sequences_df(spark, n_sources=3, n_total=30_000)
