@@ -711,59 +711,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_topk_lsh"] = cosine_topk_lsh
 
     def codec_roundtrip(spark, sf_dir):
+        """GZ1/GZ2 + GZ3 round-trips in one entry: int32 token payloads
+        (synthetic T0) and float64 XOR payloads (embeddings)."""
         from drought_t_spark import synth
-        from drought_t_spark.codec.udfs import decode_tokens_udf, encode_tokens_udf
+        from drought_t_spark.codec.udfs import (
+            decode_floats_udf,
+            decode_tokens_udf,
+            encode_floats_udf,
+            encode_tokens_udf,
+        )
 
-        seqs = synth.sequences_df(spark, n_sources=4, n_total=2000)
-        rt = seqs.select(
-            "doc_id",
+        seqs = synth.sequences_df(spark, n_sources=4, n_total=2000, slices=8)
+        ints = seqs.select(
             F.col("tokens").alias("orig"),
             decode_tokens_udf(encode_tokens_udf("tokens")).alias("decoded"),
-        )
-        return rt.select(
+        ).select(
             F.count("*").cast("long").alias("n_payloads"),
             F.sum((F.col("orig") != F.col("decoded")).cast("int")).cast("long").alias("n_mismatch"),
+        )
+        vec = F.expr("transform(embedding, x -> cast(x as double))")
+        floats = _t(spark, sf_dir, "embeddings").select(
+            vec.alias("orig"),
+            decode_floats_udf(encode_floats_udf(vec)).alias("decoded"),
+        ).select(
+            F.count("*").cast("long").alias("n_float_payloads"),
+            F.sum((F.col("orig") != F.col("decoded")).cast("int")).cast("long").alias("n_float_mismatch"),
+        )
+        # two 1-row frames; literal-key broadcast join, not a cross join
+        return (
+            ints.withColumn("_k", F.lit(1))
+            .join(F.broadcast(floats.withColumn("_k", F.lit(1))), "_k")
+            .drop("_k")
         )
     q["codec_roundtrip"] = codec_roundtrip
 
-    def codec_float_roundtrip(spark, sf_dir):
-        from drought_t_spark.codec.udfs import decode_floats_udf, encode_floats_udf
-
-        e = _t(spark, sf_dir, "embeddings")
-        vec = F.expr("transform(embedding, x -> cast(x as double))")
-        rt = e.select(
-            "vec_id",
-            vec.alias("orig"),
-            decode_floats_udf(encode_floats_udf(vec)).alias("decoded"),
-        )
-        return rt.select(
-            F.count("*").cast("long").alias("n_payloads"),
-            F.sum((F.col("orig") != F.col("decoded")).cast("int")).cast("long").alias("n_mismatch"),
-        )
-    q["codec_float_roundtrip"] = codec_float_roundtrip
-
-    def tier_rollup_synth(spark, sf_dir):
+    def tier_payload_synth(spark, sf_dir):
+        """AG2 tier cascade + AG8/GZ1 payload pack over the same synth
+        T0, summarized per source (rows-only: synth input)."""
         from drought_t_spark import synth
 
-        seqs = synth.sequences_df(spark, n_sources=4, n_total=4000)
-        tiers = rollup_tiers(seqs)
-        return (
-            tiers["day"]
-            .select("source", "bucket_start", "n_seq", "n_tok_sum", "n_tok_min", "n_tok_max")
+        seqs = synth.sequences_df(spark, n_sources=4, n_total=4000, slices=8)
+        day = rollup_tiers(seqs)["day"].groupBy("source").agg(
+            F.count("*").cast("long").alias("n_day_buckets"),
+            F.sum("n_tok_sum").cast("long").alias("n_tok_sum"),
         )
-    q["tier_rollup_synth"] = tier_rollup_synth
-
-    def payload_pack_synth(spark, sf_dir):
-        from drought_t_spark import synth
-
-        seqs = R.with_event_time(synth.sequences_df(spark, n_sources=4, n_total=4000))
-        pay = R.pack_payloads(seqs, "hour")
-        return pay.groupBy("source").agg(
-            F.count("*").cast("long").alias("n_buckets"),
-            F.sum("payload_n_tokens").cast("long").alias("n_tokens"),
-            F.sum(F.length("payload")).cast("long").alias("payload_bytes"),
+        pay = (
+            R.pack_payloads(R.with_event_time(seqs), "hour")
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n_payload_buckets"),
+                F.sum("payload_n_tokens").cast("long").alias("n_tokens"),
+                F.sum(F.length("payload")).cast("long").alias("payload_bytes"),
+            )
         )
-    q["payload_pack_synth"] = payload_pack_synth
+        return day.join(pay, "source")
+    q["tier_payload_synth"] = tier_payload_synth
 
     def retention_route_synth(spark, sf_dir):
         """Retention engine end-to-end: roll up ~32 days of synthetic
@@ -825,7 +827,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         path = tempfile.mkdtemp(prefix="stream_t0_")
         try:
-            synth.sequences_df(spark, n_sources=3, n_total=3000).write.mode(
+            # 8 input files (maxFilesPerTrigger=8 → one micro-batch):
+            # multi-batch increments are pinned by test_streaming; this
+            # entry smoke-checks the streaming rollup result cheaply
+            synth.sequences_df(spark, n_sources=3, n_total=3000, slices=8).write.mode(
                 "overwrite"
             ).parquet(path)
             # run_to_memory fully materializes into the memory sink, so
@@ -865,7 +870,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         try:
             in_dir, ckpt = f"{root}/in", f"{root}/ckpt"
             wh = Warehouse(f"{root}/wh")
-            synth.sequences_df(spark, n_sources=3, n_total=3000).write.mode(
+            # 4 input files × files_per_trigger=2 → exactly 2 micro-
+            # batches: still exercises multi-batch partials + compaction
+            # at ~1/8 the micro-batch overhead of the 32-file default
+            # (r2: 16 batches ≈ 43 s dominated the harness tail)
+            synth.sequences_df(spark, n_sources=3, n_total=3000, slices=4).write.mode(
                 "append"
             ).parquet(in_dir)
             sq = start_tier_ingest(spark, in_dir, wh, ckpt, files_per_trigger=2)
@@ -885,10 +894,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(root, ignore_errors=True)
     q["streaming_ingest_synth"] = streaming_ingest_synth
 
-    def multimodal_features(spark, sf_dir):
+    def multimodal_pipeline(spark, sf_dir):
+        """All three multimodal ops in one oracle-checked entry:
+        feature extraction (shape + normalization), resize byte
+        accounting, and frame sampling — joined per media_id. The
+        decoder body stays a documented stub; the Spark plumbing
+        (mapInPandas schema, batch shape, byte accounting) is real
+        and hash-checked against the SQL twin."""
+        from drought_t_spark.operators.multimodal import resize_images
+
         media = synth_media(_t(spark, sf_dir, "documents"))
-        feats = decode_image_features(media)
-        return feats.select(
+        feats = decode_image_features(media).select(
             "media_id",
             "n_bytes",
             F.size("features").alias("n_features"),
@@ -896,28 +912,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6
             ).alias("feat_sum"),
         )
-    q["multimodal_features"] = multimodal_features
-
-    def multimodal_resize(spark, sf_dir):
-        from drought_t_spark.operators.multimodal import resize_images
-
-        media = synth_media(_t(spark, sf_dir, "documents"))
-        return resize_images(media, 16, 16).select(
-            "media_id", "width", "height", "n_bytes"
+        rs = resize_images(media, 16, 16).select(
+            "media_id", "width", "height", F.col("n_bytes").alias("resize_bytes")
         )
-    q["multimodal_resize"] = multimodal_resize
-
-    def multimodal_frames(spark, sf_dir):
-        media = synth_media(_t(spark, sf_dir, "documents"))
-        return (
+        fr = (
             sample_frames(media, n_frames=4)
             .groupBy("media_id")
             .agg(F.count("*").cast("long").alias("n_frames"),
                  F.sum(F.length("frame")).cast("long").alias("frame_bytes"))
         )
-    q["multimodal_frames"] = multimodal_frames
+        return feats.join(rs, "media_id").join(fr, "media_id")
+    q["multimodal_pipeline"] = multimodal_pipeline
 
-    return q
+    # Registration order IS the driver's execution order, and the r2
+    # harness recorded exactly the first 50 entries — so the list is
+    # pinned to 50 (every SURVEY §2 operator keeps a row under either a
+    # 50-entry cap or a wall-clock budget), cheap/previously-dropped
+    # entries run first, and the rows-only synthetic/streaming entries
+    # run last (their semantics are pytest-pinned).
+    _ORDER = [
+        "rollup_hourly", "rollup_daily_cascade",
+        "multimodal_pipeline", "streaming_ingest_synth",  # dropped in r2 — early
+        "gapfill_hourly", "locf_fill", "missing_buckets",
+        "moving_avg_centered", "threshold_fixed", "threshold_variable",
+        "runs_events", "run_summary", "runs_events_variable",
+        "cumulative_deficit", "ma_chunked", "runs_events_chunked",
+        "frequency_yearly", "interval_join", "asof_join_hourly",
+        "ma_rangebetween", "union_tiers", "topk_per_group", "global_topk",
+        "join_star", "tpch_q1", "anti_join", "semi_join", "set_except",
+        "grouping_rollup", "json_extract", "dedup_exact", "ngram_jaccard",
+        "fingerprint_docs", "text_stats", "lang_id", "token_count",
+        "quality_score", "repetition_stats", "cosine_topk", "minhash_pairs",
+        "simhash_pairs", "dedup_clusters", "embedding_neardups",
+        "cosine_topk_ivf", "cosine_topk_lsh", "drought_events_full",
+        "codec_roundtrip", "tier_payload_synth", "retention_route_synth",
+        "streaming_rollup",
+    ]
+    assert len(_ORDER) == 50 and set(_ORDER) == set(q), (
+        sorted(set(q) ^ set(_ORDER))
+    )
+    return {name: q[name] for name in _ORDER}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1387,26 +1421,16 @@ def oracle_sql() -> dict[str, str]:
     SELECT id, CAST(min(r) AS BIGINT) AS keeper FROM reach GROUP BY id
     """
 
-    # multimodal plumbing twins: payload = UTF-8 text bytes, so byte
+    # multimodal plumbing twin: payload = UTF-8 text bytes, so byte
     # accounting / vector shape / frame slicing are SQL-derivable even
-    # though the decoder body is a stub
-    o["multimodal_features"] = """
+    # though the decoder body is a stub (all three ops in one row set)
+    o["multimodal_pipeline"] = """
     SELECT CAST(doc_id AS BIGINT) AS media_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST(16 AS INTEGER) AS n_features,
-           CAST(1.0 AS DOUBLE) AS feat_sum
-    FROM documents
-    """
-
-    o["multimodal_resize"] = """
-    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(1.0 AS DOUBLE) AS feat_sum,
            CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
-           CAST(least(256, octet_length(encode(text))) AS BIGINT) AS n_bytes
-    FROM documents
-    """
-
-    o["multimodal_frames"] = """
-    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(least(256, octet_length(encode(text))) AS BIGINT) AS resize_bytes,
            CAST(4 AS BIGINT) AS n_frames,
            CAST(least(octet_length(encode(text)),
                       4 * greatest(1, octet_length(encode(text)) // 4))

@@ -226,44 +226,84 @@ def pack_payloads(
     )
 
 
-def _recode_group(pdf, wrap_zlib: bool = False):
-    """applyInPandas kernel for tier cascading: decode member payloads
-    in (bucket_start, chunk_id) order, concat, re-encode. Decode
-    auto-detects the TSZZ envelope, so mixed raw/zlib inputs cascade
-    fine; the output envelope follows `wrap_zlib`."""
+def _recode_stream(batches, wrap_zlib: bool = False):
+    """mapInPandas kernel for tier cascading: batches arrive hash-
+    partitioned by (source, coarse bucket_start) and sorted by (keys,
+    fine_bucket, chunk_id). Group boundaries are found vectorized; each
+    complete group's member payloads are decoded in order, concatenated
+    and re-encoded; a group spanning a batch boundary is carried into
+    the next batch — the same streaming shape as `_encode_stream` (one
+    Exchange + one Sort + one MapInPandas), NOT per-group Arrow batches:
+    groupBy().applyInPandas costs ~5 ms/group fixed, which at day-tier
+    cascade scale (10^5 sources × 365 days ≈ 37M groups) is ~50 h of
+    pure per-group overhead. Decode auto-detects the TSZZ envelope, so
+    mixed raw/zlib inputs cascade fine; the output envelope follows
+    `wrap_zlib`."""
     import numpy as np
     import pandas as pd
 
     from drought_t_spark.codec import tsz1
 
-    order = np.lexsort(
-        (pdf["chunk_id"].to_numpy(), pdf["fine_bucket"].to_numpy())
-    )
-    payloads_np = pdf["payload"].to_numpy()
-    flat = (
-        np.concatenate([tsz1.decode_tokens(payloads_np[i]) for i in order])
-        if len(order)
-        else np.array([], np.int32)
-    )
-    blob = tsz1.encode_tokens(flat)
-    if wrap_zlib:
-        blob = tsz1.wrap_zlib(blob)
-    return pd.DataFrame(
-        {
-            "source": [pdf["source"].iloc[0]],
-            "bucket_start": [pdf["bucket_start"].iloc[0]],
-            "chunk_id": [0],
-            "payload": [blob],
-            "payload_n_tokens": [int(pdf["payload_n_tokens"].sum())],
-        }
-    )
+    carry = None
+
+    def flush(pdf, complete_only):
+        nonlocal carry
+        src = pdf["source"].to_numpy()
+        bkt = pdf["bucket_start"].to_numpy()
+        n = len(pdf)
+        chg = np.flatnonzero((src[1:] != src[:-1]) | (bkt[1:] != bkt[:-1]))
+        starts = np.concatenate([[0], chg + 1])
+        ends = np.concatenate([chg + 1, [n]])
+        if complete_only:
+            carry = pdf.iloc[starts[-1]:]
+            starts, ends = starts[:-1], ends[:-1]
+        else:
+            carry = None
+        pay = pdf["payload"].to_numpy()
+        ntok = pdf["payload_n_tokens"].to_numpy()
+        out_src, out_bkt, out_pay, out_n = [], [], [], []
+        for s, e in zip(starts, ends):
+            flat = (
+                np.concatenate([tsz1.decode_tokens(pay[i]) for i in range(s, e)])
+                if e > s
+                else np.array([], np.int32)
+            )
+            blob = tsz1.encode_tokens(flat)
+            if wrap_zlib:
+                blob = tsz1.wrap_zlib(blob)
+            out_src.append(src[s])
+            out_bkt.append(bkt[s])
+            out_pay.append(blob)
+            out_n.append(int(ntok[s:e].sum()))
+        return pd.DataFrame(
+            {
+                "source": out_src,
+                "bucket_start": pd.Series(out_bkt, dtype="datetime64[us]"),
+                "chunk_id": pd.Series([0] * len(out_src), dtype="int32"),
+                "payload": out_pay,
+                "payload_n_tokens": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        out = flush(pdf, complete_only=True)
+        if len(out):
+            yield out
+    if carry is not None and len(carry):
+        yield flush(carry, complete_only=False)
 
 
 def cascade_payloads(payloads: DataFrame, to_tier: str, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """Coarser-tier payloads by decode→concat→re-encode of finer-tier
     payloads — reads the compressed tier, never raw (the 100 TB path:
     month payloads cost one scan of day payloads, ~4× smaller). Same
-    applyInPandas shape as pack_payloads (no JVM object aggregation)."""
+    repartition + sortWithinPartitions + mapInPandas stream as
+    pack_payloads: ONE row shuffle, whole-partition Arrow batches, no
+    per-group fixed cost."""
     assert to_tier in _FINER
     regrouped = payloads.select(
         "source",
@@ -271,9 +311,12 @@ def cascade_payloads(payloads: DataFrame, to_tier: str, cfg: EngineConfig = DEFA
         F.col("bucket_start").alias("fine_bucket"),
         "chunk_id", "payload", "payload_n_tokens",
     )
+    parts = regrouped.repartition("source", "bucket_start").sortWithinPartitions(
+        "source", "bucket_start", "fine_bucket", "chunk_id"
+    )
     wrap = bool(cfg.payload_zlib)
-    out = regrouped.groupBy("source", "bucket_start").applyInPandas(
-        lambda pdf: _recode_group(pdf, wrap_zlib=wrap), _PAYLOAD_SCHEMA
+    out = parts.mapInPandas(
+        lambda batches: _recode_stream(batches, wrap_zlib=wrap), _PAYLOAD_SCHEMA
     )
     codec_name = cfg.payload_codec + ("+zlib" if wrap else "")
     return (

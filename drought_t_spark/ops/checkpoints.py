@@ -9,8 +9,13 @@ against committed checkpoints — only unfinished groups re-run, and the
 sink's per-partition overwrite makes re-runs idempotent (no duplicate
 buckets even if a crash hit mid-write).
 
-Determinism: `updated_seq` is a monotone counter derived from the
-existing table (max+1), never wall-clock.
+Determinism: `updated_seq` is a monotone counter, never wall-clock —
+seeded ONCE per warehouse from the existing table (max+1) and advanced
+in-process afterwards, so commit cost is independent of ops-table size
+(the old per-commit max-scan was O(table) and got slower as the ops
+tables grew). A restart re-seeds from the table; concurrent driver
+processes should use distinct job_ids (the seq totally orders commits
+within one driver, which is all resume needs).
 """
 
 from __future__ import annotations
@@ -25,12 +30,20 @@ CHECKPOINT_TBL = "ops.checkpoints"
 LINEAGE_TBL = "ops.lineage"
 METRICS_TBL = "ops.metrics"
 
+#: per-warehouse monotone seq, seeded lazily from the table (see module doc)
+_SEQ_CACHE: dict[str, int] = {}
+
 
 def _next_seq(spark: SparkSession, wh: Warehouse) -> int:
-    if not wh.exists(CHECKPOINT_TBL):
-        return 1
-    row = wh.read(spark, CHECKPOINT_TBL).agg(F.max("updated_seq")).first()
-    return int(row[0] or 0) + 1
+    key = wh.root
+    if key not in _SEQ_CACHE:
+        if not wh.exists(CHECKPOINT_TBL):
+            _SEQ_CACHE[key] = 0
+        else:
+            row = wh.read(spark, CHECKPOINT_TBL).agg(F.max("updated_seq")).first()
+            _SEQ_CACHE[key] = int(row[0] or 0)
+    _SEQ_CACHE[key] += 1
+    return _SEQ_CACHE[key]
 
 
 def committed_partitions(spark: SparkSession, wh: Warehouse, job_id: str, stage: str) -> DataFrame:

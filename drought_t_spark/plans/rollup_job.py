@@ -118,10 +118,16 @@ def run_rollup_job(
         src = hour if tier == "day" else wh.read(spark, "agg.tier_day")
         out = R.cascade(src, tier)
         wh.write_partitioned(out, f"agg.tier_{tier}", ["source"])
-        n_out = out.count()
+        # lineage counts and the snapshot token come from the WRITTEN
+        # table and the (plain parquet) source read — never from `out`,
+        # which would re-execute the cascade aggregation + upstream hour
+        # scan once per metric. The cascade DAG runs exactly once (the
+        # write); everything after is cheap column-pruned parquet scans.
+        written = wh.read(spark, f"agg.tier_{tier}")
+        n_out = written.count()
         CP.record_commit(
             spark, wh, job_id, tier, partition_ids=[f"{tier}:all"],
-            snapshot_id=Warehouse.snapshot_token(out, ["source", "bucket_start"]),
+            snapshot_id=Warehouse.snapshot_token(written, ["source", "bucket_start"]),
             rows_in=src.count(), rows_out=n_out,
             metrics={"rolled_points": float(n_out)},
         )

@@ -111,51 +111,116 @@ def _merge_agg():
 _STAT_COLS = ["source", "bucket_start", "n_seq", "n_tok_sum", "n_tok_min", "n_tok_max"]
 
 
-def read_stream_hour_tier(spark: SparkSession, wh) -> DataFrame:
-    """The live continuous aggregate: committed tier ⊎ stream partials,
-    re-merged on the mergeable integer stats. Exact at any moment; cost
-    grows with un-compacted batch count (bucket-level rows per batch),
-    so compact periodically."""
+def _merge_with_tier(spark: SparkSession, wh, partials: DataFrame) -> DataFrame:
+    """Committed tier ⊎ `partials`, re-aggregated ONLY where partials
+    touch: tier rows whose (source, bucket_start) has no partial pass
+    through untouched (a left-anti join — no re-aggregation), the rest
+    merge on the mergeable integer stats. Cost is O(|touched keys|), not
+    O(full tier) — the property that keeps frequent merges viable when
+    the committed tier is 100 TB and a batch touches a handful of
+    buckets."""
     from drought_t_spark.operators.rollup import _finish
 
-    parts = []
-    if wh.exists("agg.tier_hour"):
-        parts.append(
+    p = partials.select(*_STAT_COLS)
+    if not wh.exists("agg.tier_hour"):
+        return _finish(p.groupBy("source", "bucket_start").agg(*_merge_agg()))
+    tier = wh.read(spark, "agg.tier_hour").where(~F.col("gap_filled")).select(*_STAT_COLS)
+    keys = p.select("source", "bucket_start").distinct()
+    untouched = tier.join(keys, ["source", "bucket_start"], "left_anti")
+    touched = tier.join(keys, ["source", "bucket_start"], "left_semi")
+    merged = (
+        touched.unionByName(p)
+        .groupBy("source", "bucket_start")
+        .agg(*_merge_agg())
+    )
+    return _finish(untouched.unionByName(merged))
+
+
+def read_stream_hour_tier(spark: SparkSession, wh) -> DataFrame:
+    """The live continuous aggregate: committed tier ⊎ stream partials.
+    Exact at any moment; only buckets the partials touch are re-merged —
+    untouched tier rows are served as-is. Cost grows with un-compacted
+    batch count (bucket-level rows per batch), so compact periodically."""
+    from drought_t_spark.operators.rollup import _finish
+
+    has_partials = wh.exists(PARTIALS_TBL)
+    assert wh.exists("agg.tier_hour") or has_partials, "no tier data ingested yet"
+    if not has_partials:
+        return _finish(
             wh.read(spark, "agg.tier_hour").where(~F.col("gap_filled")).select(*_STAT_COLS)
         )
-    if wh.exists(PARTIALS_TBL):
-        parts.append(wh.read(spark, PARTIALS_TBL).select(*_STAT_COLS))
-    assert parts, "no tier data ingested yet"
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    return _finish(u.groupBy("source", "bucket_start").agg(*_merge_agg()))
+    return _merge_with_tier(spark, wh, wh.read(spark, PARTIALS_TBL))
 
 
 def compact_stream_partials(spark: SparkSession, wh, job_id: str = "stream-compact") -> int:
-    """Fold all stream partials into the committed hour tier and drop
-    them. Safe against concurrent replayed sinks in the same batch set:
-    the merged tier is materialized BEFORE the overwrite (it reads the
-    files it replaces), and partial partitions are dropped only after
-    the tier write. Returns the number of batch partitions folded."""
+    """Fold stream partials into the committed hour tier and drop them.
+
+    Incremental: only SOURCE partitions present in the partials are
+    rewritten (dynamic partition overwrite + an explicit bucket-level
+    merge); every other committed partition's files are untouched —
+    compaction cost is O(partials ∪ affected sources), not O(full tier).
+
+    The folded set and the dropped set are IDENTICAL by construction:
+    the batch_id list is collected once and both the merge input and the
+    partition drop are filtered to it, so a micro-batch landing between
+    the two (stream still running) is neither folded nor dropped — it
+    just waits for the next compaction. Folded batch_ids are recorded as
+    checkpoint partition ids, so a foreachBatch REPLAY of an
+    already-folded batch (at-least-once delivery after a crash) is
+    recognized: its recreated partition is dropped without re-folding —
+    no double count. Returns the number of batch partitions folded."""
     from drought_t_spark.ops import checkpoints as CP
     from drought_t_spark.sources.warehouse import Warehouse
 
     if not wh.exists(PARTIALS_TBL):
         return 0
-    partials = wh.read(spark, PARTIALS_TBL)
-    batch_ids = [str(r.batch_id) for r in partials.select("batch_id").distinct().collect()]
+    present = [
+        str(r.batch_id)
+        for r in wh.read(spark, PARTIALS_TBL).select("batch_id").distinct().collect()
+    ]
+    if not present:
+        return 0
+    folded_before = {
+        r.partition_id
+        for r in CP.committed_partitions(spark, wh, job_id, "stream_compact").collect()
+    }
+    replayed = [b for b in present if f"batch:{b}" in folded_before]
+    if replayed:  # already in the tier — drop without re-folding
+        wh.drop_partitions(PARTIALS_TBL, "batch_id", replayed)
+    batch_ids = [b for b in present if f"batch:{b}" not in folded_before]
     if not batch_ids:
         return 0
+    # pin the fold to exactly these batches: a later-landing partition
+    # must not be folded here (it would be double-counted after replay)
+    partials = wh.read(spark, PARTIALS_TBL).where(
+        F.col("batch_id").isin([int(b) for b in batch_ids])
+    )
     n_partials = partials.count()  # BEFORE the partitions are dropped
-    merged = read_stream_hour_tier(spark, wh).localCheckpoint(eager=True)
+    # merge ONLY the affected source partitions; materialize before the
+    # overwrite (the rewrite reads files it replaces)
+    affected = partials.select("source").distinct()
+    tier_affected = (
+        wh.read(spark, "agg.tier_hour")
+        .join(F.broadcast(affected), ["source"], "left_semi")
+        .where(~F.col("gap_filled"))
+        .select(*_STAT_COLS)
+        if wh.exists("agg.tier_hour")
+        else None
+    )
+    from drought_t_spark.operators.rollup import _finish
+
+    u = partials.select(*_STAT_COLS)
+    if tier_affected is not None:
+        u = u.unionByName(tier_affected)
+    merged = _finish(
+        u.groupBy("source", "bucket_start").agg(*_merge_agg())
+    ).localCheckpoint(eager=True)
+    # dynamic overwrite replaces exactly the affected source partitions
     wh.write_partitioned(merged, "agg.tier_hour", ["source"])
     wh.drop_partitions(PARTIALS_TBL, "batch_id", batch_ids)
     CP.record_commit(
-        spark, wh, job_id, "stream_compact", [f"batches:{len(batch_ids)}"],
-        snapshot_id=Warehouse.snapshot_token(
-            wh.read(spark, "agg.tier_hour"), ["source", "bucket_start"]
-        ),
+        spark, wh, job_id, "stream_compact", [f"batch:{b}" for b in batch_ids],
+        snapshot_id=Warehouse.snapshot_token(merged, ["source", "bucket_start"]),
         rows_in=n_partials, rows_out=merged.count(),
         metrics={"folded_batches": float(len(batch_ids))},
     )

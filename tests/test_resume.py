@@ -95,3 +95,31 @@ def test_lineage_and_metrics_written(spark, seqs, tmp_path):
     hour_rows = wh.read(spark, "agg.tier_hour").count()
     got = mt[(mt.stage == "hour") & (mt.name == "rolled_points")].value.sum()
     assert int(got) == hour_rows
+
+
+def test_cascade_executes_exactly_once_per_tier(spark, seqs, tmp_path, monkeypatch):
+    """Lineage counts must come from the written table, not from
+    re-executing the cascade DAG: an accumulator spliced into the
+    cascade input counts every row that ever FLOWS THROUGH the
+    aggregation — with re-execution per metric (the old out.count() +
+    snapshot_token(out) shape) it would read ~3× the source rows."""
+    from drought_t_spark.operators import rollup as R
+
+    acc = spark.sparkContext.accumulator(0)
+    real_cascade = R.cascade
+
+    def counting_cascade(df, tier):
+        def cnt(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        return real_cascade(df.mapInPandas(cnt, df.schema), tier)
+
+    monkeypatch.setattr(R, "cascade", counting_cascade)
+    wh = Warehouse(str(tmp_path / "wh_once"))
+    run_rollup_job(spark, wh, seqs, "jobO", CFG, n_groups=2, with_payloads=False)
+    hour_rows = wh.read(spark, "agg.tier_hour").count()
+    day_rows = wh.read(spark, "agg.tier_day").count()
+    # day cascade reads each hour row once; month cascade each day row once
+    assert acc.value == hour_rows + day_rows

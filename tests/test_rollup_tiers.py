@@ -141,6 +141,26 @@ def test_payload_cascade_equals_from_raw(spark, seqs):
     assert c.exceptAll(d).count() == 0 and d.exceptAll(c).count() == 0
 
 
+def test_cascade_payloads_plan_is_streamed(spark, seqs, tmp_path):
+    """The cascade must keep pack_payloads' streaming shape — one
+    Exchange + one Sort + one MapInPandas — and never fall back to the
+    per-group applyInPandas shape (~5 ms/group fixed cost ≈ 50 h of
+    overhead at 37M day-tier groups)."""
+    p = str(tmp_path / "hour_pay")
+    R.pack_payloads(seqs, "hour", CFG).write.parquet(p)
+    df = R.cascade_payloads(spark.read.parquet(p), "day", CFG)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange") == 1 and plan.count("Sort") == 1
+    # and the streamed result is still correct (vs the raw-tier pack)
+    a = df.select("source", "bucket_start", "payload_crc32")
+    b = R.pack_payloads(seqs, "day", CFG, chunk_minutes=1440).select(
+        "source", "bucket_start", "payload_crc32"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_gap_injection_creates_missing_buckets(spark, seqs):
     stats = R.rollup_hour(seqs, CFG)
     assert missing_buckets(stats, "hour").count() > 0

@@ -107,6 +107,68 @@ def test_stream_ingest_incremental_and_compaction(spark, tmp_path):
     _assert_same_stats(read_stream_hour_tier(spark, wh), batch_truth())
 
 
+def test_compaction_incremental_and_replay_safe(spark, tmp_path):
+    """Scale contract of compaction: only source partitions whose
+    sources appear in the partials are rewritten (untouched partitions'
+    files stay byte-identical on disk), and a foreachBatch REPLAY of an
+    already-folded batch is dropped without re-folding (no double
+    count)."""
+    import os
+
+    from drought_t_spark.sources.warehouse import Warehouse
+    from drought_t_spark.streaming.rollup_stream import (
+        PARTIALS_TBL,
+        compact_stream_partials,
+        read_stream_hour_tier,
+        start_tier_ingest,
+    )
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    # two sources land in the committed tier
+    _seq_batch(spark, list(range(120)), "src_aaaa").write.mode("append").parquet(in_dir)
+    _seq_batch(spark, list(range(120)), "src_bbbb").write.mode("append").parquet(in_dir)
+    q = start_tier_ingest(spark, in_dir, wh, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert compact_stream_partials(spark, wh) >= 1
+
+    def files_of(source):
+        d = os.path.join(wh.path("agg.tier_hour"), f"source={source}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    bbbb_before = files_of("src_bbbb")
+
+    # new data ONLY for src_aaaa → compaction must not touch src_bbbb
+    _seq_batch(spark, list(range(120, 240)), "src_aaaa").write.mode("append").parquet(in_dir)
+    q = start_tier_ingest(spark, in_dir, wh, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    # remember one folded batch's rows to fake a replay later
+    partials = wh.read(spark, PARTIALS_TBL)
+    replay_bid = partials.select(F.max("batch_id")).first()[0]
+    replay_rows = partials.where(F.col("batch_id") == replay_bid).localCheckpoint(eager=True)
+    assert compact_stream_partials(spark, wh) >= 1
+    assert files_of("src_bbbb") == bbbb_before  # untouched partition intact
+
+    truth = R.rollup_hour(R.with_event_time(spark.read.parquet(in_dir)))
+    _assert_same_stats(wh.read(spark, "agg.tier_hour"), truth)
+
+    # simulate an at-least-once foreachBatch replay of a folded batch:
+    # its partition reappears, but the next compaction must ignore it
+    wh.write_partitioned(replay_rows, PARTIALS_TBL, ["batch_id"])
+    assert compact_stream_partials(spark, wh) == 0
+    assert not wh.exists(PARTIALS_TBL) or wh.read(spark, PARTIALS_TBL).where(
+        F.col("batch_id") == replay_bid
+    ).count() == 0
+    _assert_same_stats(wh.read(spark, "agg.tier_hour"), truth)
+    _assert_same_stats(read_stream_hour_tier(spark, wh), truth)
+
+
 def test_streaming_rollup_equals_batch(spark, tmp_path):
     path = str(tmp_path / "seqs")
     seqs = synth.sequences_df(spark, n_sources=3, n_total=3000)
