@@ -133,6 +133,113 @@ def train_ivf_centroids(
     return C
 
 
+def train_ivf_centroids_kmeanspar(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    oversample: int | None = None,
+    n_rounds: int = 3,
+    n_iter: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """k-means‖ (Bahmani et al., VLDB 2012) spherical coarse-centroid
+    trainer — the in-Spark path for codebooks past the driver-sample
+    budget of `train_ivf_centroids`. No step collects more than the
+    candidate set (~oversample × n_rounds vectors); the full table is
+    only ever scanned, never gathered.
+
+    1. seed candidate: the vector with min xxhash64(id) — deterministic
+       under any partitioning;
+    2. `n_rounds` distributed oversampling rounds: every row computes
+       its spherical distance d² = 1 − max-dot to the nearest current
+       candidate (Arrow-batched matmul, closure-broadcast candidates)
+       and SELF-selects with probability min(1, ℓ·d²/Σd²) using a
+       seeded per-(id, round) hash — no RNG state anywhere;
+    3. parallel assignment: one more scan votes each row to its nearest
+       candidate; the groupBy counts are the candidate weights;
+    4. driver finish: weighted Lloyd over the tiny candidate set down
+       to `n_centroids`, L2-normalized (assignment by max dot == max
+       cosine, as everywhere else in this module).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ell = oversample or 2 * n_centroids
+
+    # raw double vectors; L2 normalization happens INSIDE the Arrow
+    # kernels (a pandas UDF whose argument is a higher-order-function
+    # expression fails Python-UDF extraction under an aggregate —
+    # verified on Spark 4.1 — and NumPy normalization is faster anyway)
+    dv = df.select(
+        F.xxhash64(F.col(id_col).cast("string")).alias("h"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+
+    def _norm(X: np.ndarray) -> np.ndarray:
+        return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    first = dv.orderBy("h").limit(1).collect()
+    if not first:
+        raise ValueError("empty input")
+    cand = _norm(np.asarray([list(first[0]["v"])], dtype=np.float64))
+
+    def _dist_udf(C: np.ndarray):
+        @pandas_udf("double")
+        def d2(vecs: pd.Series) -> pd.Series:
+            X = _norm(np.stack(vecs.map(np.asarray)).astype(np.float64))
+            return pd.Series(1.0 - np.max(X @ C.T, axis=1))
+        return d2
+
+    for rnd in range(n_rounds):
+        d2 = _dist_udf(cand)
+        # no clamp around the UDF: wrapping a PythonUDF in greatest()
+        # leaves it under an interpreted expression (unevaluable), and a
+        # tiny negative d² (fp noise when a row == a candidate) selects
+        # nothing — exactly right
+        scored = dv.withColumn("d2", d2(F.col("v")))
+        total = scored.agg(F.sum("d2")).first()[0] or 0.0
+        if total <= 0:
+            break  # every row coincides with a candidate already
+        # seeded per-(id, round) uniform in [0, 1): select iff
+        # u < ℓ·d²/Σd² — the k-means|| oversampling step, RNG-free
+        u = (
+            F.pmod(F.xxhash64(F.col("h"), F.lit(rnd)), F.lit(1 << 30))
+            / float(1 << 30)
+        )
+        picked = scored.where(u < F.lit(float(ell)) * F.col("d2") / F.lit(float(total)))
+        new = picked.select("v").collect()
+        if new:
+            cand = np.concatenate(
+                [cand, _norm(np.asarray([list(r["v"]) for r in new], dtype=np.float64))]
+            )
+
+    # parallel assignment → candidate weights (≤ |cand| rows collected)
+    C = cand
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        X = _norm(np.stack(vecs.map(np.asarray)).astype(np.float64))
+        return pd.Series(np.argmax(X @ C.T, axis=1).astype(np.int32))
+
+    wrows = dv.select(nearest(F.col("v")).alias("c")).groupBy("c").count().collect()
+    w = np.zeros(len(cand))
+    for r in wrows:
+        w[int(r["c"])] = float(r["count"])
+
+    # driver finish: weighted spherical Lloyd down to n_centroids,
+    # initialized from the heaviest candidates (deterministic)
+    k = min(n_centroids, len(cand))
+    order = np.lexsort((np.arange(len(cand)), -w))
+    Ck = cand[order[:k]].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(cand @ Ck.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if w[m].sum() > 0:
+                Ck[c] = np.average(cand[m], axis=0, weights=w[m])
+        Ck /= np.maximum(np.linalg.norm(Ck, axis=1, keepdims=True), 1e-12)
+    return Ck
+
+
 def _topk_ivf_udf(df, q, cents, k, id_col, vec_col, n_probe) -> DataFrame:
     """IVF scan with Arrow-batched cell assignment: one NumPy matmul +
     argmax per record batch (closure-captured centroids — Spark ships
