@@ -267,6 +267,21 @@ def run_bench() -> dict:
     qs = E.queries()
     times: dict[str, float] = {}
 
+    # throwaway warm-up: one untimed pass of a representative query
+    # warms the JVM JIT, Python workers and parquet footers — r2's
+    # first-run samples ran 5-20× steady state and polluted min-of-2
+    t0 = time.time()
+    try:
+        # covers the three hot code families: window/gap-fill exprs,
+        # interpreted HOF string kernels, and broadcast-hash-join
+        # codegen (join_star's first-ever BHJ build JITs for ~7 s cold)
+        qs["gapfill_hourly"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        qs["text_stats"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        qs["join_star"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    except Exception as ex:
+        _log(f"warm-up failed (continuing): {ex}")
+    _log(f"warm-up: {round(time.time() - t0, 2)}s (untimed)")
+
     tok = run_token_job(spark, sf, iters=2)
     times["token_rollup_tiers"] = tok["sec_stats"]
     times["token_payload_encode"] = tok["sec_payload"]
@@ -275,11 +290,15 @@ def run_bench() -> dict:
     for name in HEADLINE:
         fn = qs[name]
         try:
-            # min of 2 runs: this VM's host steals CPU in bursts (see
+            # min over repeats: this VM's host steals CPU in bursts (see
             # BENCH/BASELINE.md §1) — a single-shot sample can be 5-20×
-            # the true cost; min is the least-contaminated estimator
+            # the true cost; min is the least-contaminated estimator.
+            # Sub-5s queries get a third sample (their relative noise is
+            # largest); big queries stay at 2 to bound total wall.
             walls = []
-            for _ in range(2):
+            for i in range(3):
+                if i == 2 and min(walls) >= 5.0:
+                    break
                 t0 = time.time()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 walls.append(time.time() - t0)
