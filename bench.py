@@ -385,6 +385,57 @@ def run_scaling() -> None:
     }))
 
 
+def run_cascade_bench() -> None:
+    """Payload-cascade throughput (day←hour, month←day) at sf×mult:
+    decode→concat→re-encode of the compressed finer tier — the 100 TB
+    path where month payloads cost one scan of day payloads instead of
+    re-reading raw. Measures the r3 streamed shape (repartition + sort +
+    mapInPandas); the rejected groupBy().applyInPandas shape costs
+    ~5 ms/group fixed. One JSON line."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from drought_t_spark.operators import rollup as R
+    from drought_t_spark.session import build_session
+
+    sf = _sf_of(SF_DIR)
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "8"))
+    spark = build_session("bench-cascade", master=f"local[{CPUS}]",
+                          shuffle_partitions=max(8, CPUS))
+    tmp = tempfile.mkdtemp(prefix="bench_cascade_")
+    out: dict = {"sf": sf, "scale_mult": mult, "cpus": CPUS}
+    try:
+        t0dir = write_token_table(spark, sf, scale_mult=mult, path=f"{tmp}/t0")
+        t1 = R.with_event_time(spark.read.parquet(t0dir))
+        R.pack_payloads(t1, "hour").write.mode("overwrite").parquet(f"{tmp}/pay_hour")
+        src_path = f"{tmp}/pay_hour"
+        for hop in ("day", "month"):
+            src = spark.read.parquet(src_path)
+            walls, row = [], None
+            for _ in range(2):
+                t0 = time.time()
+                row = R.cascade_payloads(src, hop).agg(
+                    F.count("*").alias("buckets"),
+                    F.sum("payload_n_tokens").alias("toks"),
+                    F.sum(F.length("payload")).alias("bytes"),
+                ).first()
+                walls.append(time.time() - t0)
+            w = min(walls)
+            out[f"{hop}_sec"] = round(w, 3)
+            out[f"{hop}_buckets"] = int(row["buckets"])
+            out[f"{hop}_tokens"] = int(row["toks"])
+            out[f"{hop}_tokens_per_sec_recoded"] = round(int(row["toks"]) / max(w, 1e-9), 1)
+            _log(f"cascade {hop}: {out[f'{hop}_sec']}s (runs {[round(x, 2) for x in walls]})")
+            if hop == "day":  # materialize the day tier as the month input
+                R.cascade_payloads(src, "day").write.mode("overwrite").parquet(f"{tmp}/pay_day")
+                src_path = f"{tmp}/pay_day"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(out))
+
+
 def run_scaling_codec() -> None:
     """Codec-kernel-only N-vs-4N sample (~2 min): the host steals CPU in
     multi-minute bursts, so one full --scaling run can catch a single
@@ -436,6 +487,8 @@ if __name__ == "__main__":
         run_scaling_codec_child(int(sys.argv[2]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-codec":
         run_scaling_codec()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cascade":
+        run_cascade_bench()
     elif len(sys.argv) > 3 and sys.argv[1] == "--scaling-gen":
         run_scaling_gen(int(sys.argv[2]), sys.argv[3])
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
