@@ -174,3 +174,40 @@ def test_stats_plan_prunes_tokens_column(spark, seqs, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     schemas = [l.split("ReadSchema:", 1)[1] for l in plan.splitlines() if "ReadSchema" in l]
     assert schemas and all("tokens" not in s for s in schemas), plan
+
+
+def test_value_history_roundtrip_bit_exact(spark, seqs):
+    """GZ3 tier consumer (value-history compaction): pack the hour
+    tier's float64 value series into per-(source, month) offset+XOR
+    payloads, unpack, and require BIT-exact float64 equality on every
+    (source, bucket_start) — including sources with calendar gaps."""
+    from drought_t_spark.operators.value_history import (
+        pack_value_history,
+        unpack_value_history,
+    )
+
+    hour = R.rollup_hour(seqs, CFG)
+    hist = pack_value_history(hour, "month")
+    # plan keeps the streamed shape (no per-group Arrow batches); judge
+    # the pack in isolation from the synth generator's own MapInPandas
+    # by planning over a parquet read of the tier
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        hour.write.parquet(f"{td}/hour")
+        iso = pack_value_history(spark.read.parquet(f"{td}/hour"), "month")
+        plan = iso._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" not in plan
+        assert plan.count("MapInPandas") == 1
+
+    back = unpack_value_history(hist)
+    orig = hour.select("source", "bucket_start", F.col("value").cast("double").alias("value"))
+    # exceptAll on the raw double is a bit-exact comparison
+    assert orig.exceptAll(back).count() == 0
+    assert back.exceptAll(orig).count() == 0
+    # archive is materially smaller than the raw 8B/value + 8B/ts
+    row = hist.agg(
+        F.sum("n_points").alias("n"),
+        (F.sum(F.length("ts_payload")) + F.sum(F.length("val_payload"))).alias("b"),
+    ).first()
+    assert int(row["b"]) < 16 * int(row["n"])
