@@ -414,13 +414,24 @@ def run_cascade_bench() -> None:
         for hop in ("day", "month"):
             src = spark.read.parquet(src_path)
             walls, row = [], None
-            for _ in range(2):
+            for i in range(2):
                 t0 = time.time()
-                row = R.cascade_payloads(src, hop).agg(
-                    F.count("*").alias("buckets"),
-                    F.sum("payload_n_tokens").alias("toks"),
-                    F.sum(F.length("payload")).alias("bytes"),
-                ).first()
+                casc = R.cascade_payloads(src, hop)
+                if hop == "day" and i == 0:
+                    # first day sample doubles as the month input's
+                    # materialization — no third full cascade pass
+                    casc.write.mode("overwrite").parquet(f"{tmp}/pay_day")
+                    row = spark.read.parquet(f"{tmp}/pay_day").agg(
+                        F.count("*").alias("buckets"),
+                        F.sum("payload_n_tokens").alias("toks"),
+                        F.sum(F.length("payload")).alias("bytes"),
+                    ).first()
+                else:
+                    row = casc.agg(
+                        F.count("*").alias("buckets"),
+                        F.sum("payload_n_tokens").alias("toks"),
+                        F.sum(F.length("payload")).alias("bytes"),
+                    ).first()
                 walls.append(time.time() - t0)
             w = min(walls)
             out[f"{hop}_sec"] = round(w, 3)
@@ -428,8 +439,7 @@ def run_cascade_bench() -> None:
             out[f"{hop}_tokens"] = int(row["toks"])
             out[f"{hop}_tokens_per_sec_recoded"] = round(int(row["toks"]) / max(w, 1e-9), 1)
             _log(f"cascade {hop}: {out[f'{hop}_sec']}s (runs {[round(x, 2) for x in walls]})")
-            if hop == "day":  # materialize the day tier as the month input
-                R.cascade_payloads(src, "day").write.mode("overwrite").parquet(f"{tmp}/pay_day")
+            if hop == "day":
                 src_path = f"{tmp}/pay_day"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -93,15 +93,56 @@ _PAYLOAD_SCHEMA = (
 )
 
 
+def grouped_stream(batches, key_cols, emit):
+    """Shared mapInPandas scaffold for every payload kernel: the input
+    arrives hash-partitioned by `key_cols` and sorted by (key_cols,
+    order cols), so group boundaries are adjacent-change positions —
+    found vectorized, ~0.1 ms/group. A group spanning a batch boundary
+    is carried into the next batch; the trailing carry flushes at end.
+    `emit(pdf, starts, ends)` maps each complete group [s, e) to output
+    rows. This scaffold (vs groupBy().applyInPandas, ~5 ms/group fixed:
+    one Arrow record batch + two pandas frames per group) is the
+    difference measured at 166 s task time vs 15 s CPU on the payload
+    stage — see BENCH/BASELINE.md §4."""
+    import numpy as np
+    import pandas as pd
+
+    carry = None
+
+    def flush(pdf, complete_only):
+        nonlocal carry
+        n = len(pdf)
+        chg = None
+        for c in key_cols:
+            a = pdf[c].to_numpy()
+            m = a[1:] != a[:-1]
+            chg = m if chg is None else (chg | m)
+        chg = np.flatnonzero(chg)
+        starts = np.concatenate([[0], chg + 1])
+        ends = np.concatenate([chg + 1, [n]])
+        if complete_only:
+            # the last group may continue in the next batch — carry it
+            carry = pdf.iloc[starts[-1]:]
+            starts, ends = starts[:-1], ends[:-1]
+        else:
+            carry = None
+        return emit(pdf, starts, ends)
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        out = flush(pdf, complete_only=True)
+        if len(out):
+            yield out
+    if carry is not None and len(carry):
+        yield flush(carry, complete_only=False)
+
+
 def _encode_stream(batches, wrap_zlib: bool = False):
-    """mapInPandas kernel: a partition's batches arrive hash-partitioned
-    by (source, bucket_start, chunk_id) and sorted by (keys, seq). Group
-    boundaries are found vectorized (np.unique on adjacent-change), each
-    complete group is concat+encoded; rows of a group that spans a batch
-    boundary are carried into the next batch. Per-GROUP Python overhead
-    is ~0.1ms — the applyInPandas shape costs ~5ms/group (one Arrow
-    record batch + two pandas DataFrames per group), which dominated the
-    whole payload stage (measured: 166s task time, 15s CPU)."""
+    """mapInPandas kernel: concat+encode each (source, bucket_start,
+    chunk_id) group's tokens, ordered by seq (the sort key)."""
     import numpy as np
     import pandas as pd
 
@@ -111,25 +152,11 @@ def _encode_stream(batches, wrap_zlib: bool = False):
         enc = lambda a: tsz1.wrap_zlib(tsz1.encode_tokens(a))  # noqa: E731
     else:
         enc = tsz1.encode_tokens
-    carry = None
 
-    def flush(pdf, complete_only):
-        nonlocal carry
+    def emit(pdf, starts, ends):
         src = pdf["source"].to_numpy()
         bkt = pdf["bucket_start"].to_numpy()
         chk = pdf["chunk_id"].to_numpy()
-        n = len(pdf)
-        chg = np.flatnonzero(
-            (src[1:] != src[:-1]) | (bkt[1:] != bkt[:-1]) | (chk[1:] != chk[:-1])
-        )
-        starts = np.concatenate([[0], chg + 1])
-        ends = np.concatenate([chg + 1, [n]])
-        if complete_only:
-            # the last group may continue in the next batch — carry it
-            carry = pdf.iloc[starts[-1]:]
-            starts, ends = starts[:-1], ends[:-1]
-        else:
-            carry = None
         toks = pdf["tokens"].to_numpy()
         ntok = pdf["n_tok"].to_numpy()
         out_src, out_bkt, out_chk, out_pay, out_n = [], [], [], [], []
@@ -154,16 +181,7 @@ def _encode_stream(batches, wrap_zlib: bool = False):
             }
         )
 
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
-        if carry is not None and len(carry):
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-        out = flush(pdf, complete_only=True)
-        if len(out):
-            yield out
-    if carry is not None and len(carry):
-        yield flush(carry, complete_only=False)
+    yield from grouped_stream(batches, ["source", "bucket_start", "chunk_id"], emit)
 
 
 def pack_payloads(
@@ -227,38 +245,22 @@ def pack_payloads(
 
 
 def _recode_stream(batches, wrap_zlib: bool = False):
-    """mapInPandas kernel for tier cascading: batches arrive hash-
-    partitioned by (source, coarse bucket_start) and sorted by (keys,
-    fine_bucket, chunk_id). Group boundaries are found vectorized; each
-    complete group's member payloads are decoded in order, concatenated
-    and re-encoded; a group spanning a batch boundary is carried into
-    the next batch — the same streaming shape as `_encode_stream` (one
-    Exchange + one Sort + one MapInPandas), NOT per-group Arrow batches:
-    groupBy().applyInPandas costs ~5 ms/group fixed, which at day-tier
-    cascade scale (10^5 sources × 365 days ≈ 37M groups) is ~50 h of
-    pure per-group overhead. Decode auto-detects the TSZZ envelope, so
-    mixed raw/zlib inputs cascade fine; the output envelope follows
-    `wrap_zlib`."""
+    """mapInPandas kernel for tier cascading: decode each (source,
+    coarse bucket_start) group's member payloads in (fine_bucket,
+    chunk_id) order — the sort key — concat, re-encode. Same
+    `grouped_stream` scaffold as `_encode_stream` (one Exchange + one
+    Sort + one MapInPandas; at 10^5 sources × 365 days ≈ 37M day-tier
+    groups the applyInPandas shape would burn ~50 h of per-group fixed
+    cost). Decode auto-detects the TSZZ envelope, so mixed raw/zlib
+    inputs cascade fine; the output envelope follows `wrap_zlib`."""
     import numpy as np
     import pandas as pd
 
     from drought_t_spark.codec import tsz1
 
-    carry = None
-
-    def flush(pdf, complete_only):
-        nonlocal carry
+    def emit(pdf, starts, ends):
         src = pdf["source"].to_numpy()
         bkt = pdf["bucket_start"].to_numpy()
-        n = len(pdf)
-        chg = np.flatnonzero((src[1:] != src[:-1]) | (bkt[1:] != bkt[:-1]))
-        starts = np.concatenate([[0], chg + 1])
-        ends = np.concatenate([chg + 1, [n]])
-        if complete_only:
-            carry = pdf.iloc[starts[-1]:]
-            starts, ends = starts[:-1], ends[:-1]
-        else:
-            carry = None
         pay = pdf["payload"].to_numpy()
         ntok = pdf["payload_n_tokens"].to_numpy()
         out_src, out_bkt, out_pay, out_n = [], [], [], []
@@ -285,16 +287,7 @@ def _recode_stream(batches, wrap_zlib: bool = False):
             }
         )
 
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
-        if carry is not None and len(carry):
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-        out = flush(pdf, complete_only=True)
-        if len(out):
-            yield out
-    if carry is not None and len(carry):
-        yield flush(carry, complete_only=False)
+    yield from grouped_stream(batches, ["source", "bucket_start"], emit)
 
 
 def cascade_payloads(payloads: DataFrame, to_tier: str, cfg: EngineConfig = DEFAULT) -> DataFrame:

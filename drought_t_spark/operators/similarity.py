@@ -195,19 +195,31 @@ def train_ivf_centroids_kmeanspar(
         # no clamp around the UDF: wrapping a PythonUDF in greatest()
         # leaves it under an interpreted expression (unevaluable), and a
         # tiny negative d² (fp noise when a row == a candidate) selects
-        # nothing — exactly right
-        scored = dv.withColumn("d2", d2(F.col("v")))
-        total = scored.agg(F.sum("d2")).first()[0] or 0.0
-        if total <= 0:
-            break  # every row coincides with a candidate already
-        # seeded per-(id, round) uniform in [0, 1): select iff
-        # u < ℓ·d²/Σd² — the k-means|| oversampling step, RNG-free
-        u = (
-            F.pmod(F.xxhash64(F.col("h"), F.lit(rnd)), F.lit(1 << 30))
-            / float(1 << 30)
-        )
-        picked = scored.where(u < F.lit(float(ell)) * F.col("d2") / F.lit(float(total)))
-        new = picked.select("v").collect()
+        # nothing — exactly right. Persisted for the round: the Σd²
+        # aggregate and the sampling filter both consume d2, and the
+        # Arrow matmul is the round's dominant cost — without the
+        # persist every round pays it twice (spills to disk if the
+        # (h, v, d2) projection outgrows memory).
+        scored = dv.withColumn("d2", d2(F.col("v"))).persist()
+        try:
+            total = scored.agg(F.sum("d2")).first()[0] or 0.0
+            if total <= 0:
+                break  # every row coincides with a candidate already
+            # seeded per-(id, round) uniform in [0, 1): select iff
+            # u < ℓ·d²/Σd² — the k-means|| oversampling step, RNG-free
+            u = (
+                F.pmod(F.xxhash64(F.col("h"), F.lit(rnd)), F.lit(1 << 30))
+                / float(1 << 30)
+            )
+            picked = scored.where(
+                u < F.lit(float(ell)) * F.col("d2") / F.lit(float(total))
+            )
+            # collect() row order is partition-dependent; the candidate
+            # ORDER feeds the Lloyd init tie-break, so sort by the
+            # content hash to stay deterministic under any partitioning
+            new = sorted(picked.select("h", "v").collect(), key=lambda r: r["h"])
+        finally:
+            scored.unpersist()
         if new:
             cand = np.concatenate(
                 [cand, _norm(np.asarray([list(r["v"]) for r in new], dtype=np.float64))]

@@ -39,22 +39,11 @@ def _pack_stream(batches):
     import pandas as pd
 
     from drought_t_spark.codec import tsz1
+    from drought_t_spark.operators.rollup import grouped_stream
 
-    carry = None
-
-    def flush(pdf, complete_only):
-        nonlocal carry
+    def emit(pdf, starts, ends):
         src = pdf["source"].to_numpy()
         cb = pdf["coarse"].to_numpy()
-        n = len(pdf)
-        chg = np.flatnonzero((src[1:] != src[:-1]) | (cb[1:] != cb[:-1]))
-        starts = np.concatenate([[0], chg + 1])
-        ends = np.concatenate([chg + 1, [n]])
-        if complete_only:
-            carry = pdf.iloc[starts[-1]:]
-            starts, ends = starts[:-1], ends[:-1]
-        else:
-            carry = None
         offs = pdf["off_min"].to_numpy()
         vals = pdf["value"].to_numpy()
         out = {"source": [], "bucket_start": [], "n_points": [],
@@ -79,16 +68,7 @@ def _pack_stream(batches):
             }
         )
 
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
-        if carry is not None and len(carry):
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-        got = flush(pdf, complete_only=True)
-        if len(got):
-            yield got
-    if carry is not None and len(carry):
-        yield flush(carry, complete_only=False)
+    yield from grouped_stream(batches, ["source", "coarse"], emit)
 
 
 def pack_value_history(tier_df: DataFrame, to_tier: str = "month") -> DataFrame:

@@ -9,13 +9,18 @@ against committed checkpoints — only unfinished groups re-run, and the
 sink's per-partition overwrite makes re-runs idempotent (no duplicate
 buckets even if a crash hit mid-write).
 
-Determinism: `updated_seq` is a monotone counter, never wall-clock —
-seeded ONCE per warehouse from the existing table (max+1) and advanced
-in-process afterwards, so commit cost is independent of ops-table size
-(the old per-commit max-scan was O(table) and got slower as the ops
-tables grew). A restart re-seeds from the table; concurrent driver
-processes should use distinct job_ids (the seq totally orders commits
-within one driver, which is all resume needs).
+Determinism: `updated_seq` is a counter, never wall-clock — seeded ONCE
+per warehouse from the existing table (max+1) and advanced in-process
+afterwards, so commit cost is independent of ops-table size (the old
+per-commit max-scan was O(table) and got slower as the ops tables
+grew). The guarantee is scoped honestly: the seq TOTALLY ORDERS commits
+within one driver process; across processes it only orders relative to
+the table state at this process's first commit, so two writer processes
+interleaving on one warehouse may repeat seq values. That is acceptable
+because nothing in resume depends on seq — `pending_partitions`
+anti-joins on (job_id, stage, partition_id, state) — and the production
+Iceberg runtime replaces the column with snapshot ids (docs/ICEBERG.md),
+which ARE globally ordered by the catalog's commit log.
 """
 
 from __future__ import annotations

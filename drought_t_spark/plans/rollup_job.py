@@ -123,7 +123,12 @@ def run_rollup_job(
         # which would re-execute the cascade aggregation + upstream hour
         # scan once per metric. The cascade DAG runs exactly once (the
         # write); everything after is cheap column-pruned parquet scans.
-        written = wh.read(spark, f"agg.tier_{tier}")
+        # Scoped to sources present in THIS run's input: dynamic
+        # overwrite keeps partitions of sources that vanished upstream,
+        # and lineage must describe the run's output, not stale rows.
+        written = wh.read(spark, f"agg.tier_{tier}").join(
+            src.select("source").distinct(), ["source"], "left_semi"
+        )
         n_out = written.count()
         CP.record_commit(
             spark, wh, job_id, tier, partition_ids=[f"{tier}:all"],

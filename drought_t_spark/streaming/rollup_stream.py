@@ -69,11 +69,34 @@ def start_append_stream(spark: SparkSession, path: str,
 PARTIALS_TBL = "agg.stream_partials_hour"
 
 
+def _stream_identity(checkpoint_dir: str) -> str:
+    """Stable per-checkpoint stream id, read from Spark's own
+    `<ckpt>/metadata` (written at query start, PRESERVED across restarts
+    from the same checkpoint, regenerated when the checkpoint is lost or
+    recreated). This is exactly the identity the folded-batch ledger
+    needs: micro-batch ids restart at 0 under a fresh checkpoint, so a
+    ledger keyed by bare batch_id would classify NEW data as an
+    already-folded replay and silently drop it."""
+    import json
+    import os
+
+    import re
+
+    meta = os.path.join(checkpoint_dir, "metadata")
+    try:
+        with open(meta) as f:
+            # partition-path-safe (hive escapes ':' etc. in dir names)
+            return re.sub(r"[^0-9a-zA-Z]", "", str(json.load(f)["id"]))
+    except (OSError, ValueError, KeyError):
+        return "s0"  # pre-start or exotic checkpoint layout; degrade gracefully
+
+
 def start_tier_ingest(spark: SparkSession, path: str, wh, checkpoint_dir: str,
                       files_per_trigger: int = 1):
     """Incremental continuous-aggregate ingest: each micro-batch's hour
     partials (mergeable integer stats) land in `agg.stream_partials_hour`
-    partitioned by batch_id via idempotent partition overwrite.
+    partitioned by `batch_key = <stream-id>-<batch_id>` via idempotent
+    partition overwrite.
 
     foreachBatch is at-least-once — a crash between sink and stream
     checkpoint replays the batch — so the sink must be IDEMPOTENT, not
@@ -86,10 +109,17 @@ def start_tier_ingest(spark: SparkSession, path: str, wh, checkpoint_dir: str,
     from drought_t_spark.operators import rollup as R
 
     t1 = R.with_event_time(read_sequence_stream(spark, path, files_per_trigger))
+    sid: list[str] = []  # resolved lazily: metadata exists once started
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        part = R.rollup_hour(batch_df).withColumn("batch_id", F.lit(int(batch_id)))
-        wh.write_partitioned(part, PARTIALS_TBL, ["batch_id"])
+        if not sid:
+            sid.append(_stream_identity(checkpoint_dir))
+        # '-' separator: hive partition dirs escape ':' (%3A), which
+        # would desync drop_partitions' path from the read-back value
+        part = R.rollup_hour(batch_df).withColumn(
+            "batch_key", F.lit(f"{sid[0]}-{int(batch_id)}")
+        )
+        wh.write_partitioned(part, PARTIALS_TBL, ["batch_key"])
 
     return (
         t1.writeStream.foreachBatch(sink)
@@ -161,39 +191,47 @@ def compact_stream_partials(spark: SparkSession, wh, job_id: str = "stream-compa
     compaction cost is O(partials ∪ affected sources), not O(full tier).
 
     The folded set and the dropped set are IDENTICAL by construction:
-    the batch_id list is collected once and both the merge input and the
-    partition drop are filtered to it, so a micro-batch landing between
-    the two (stream still running) is neither folded nor dropped — it
-    just waits for the next compaction. Folded batch_ids are recorded as
-    checkpoint partition ids, so a foreachBatch REPLAY of an
-    already-folded batch (at-least-once delivery after a crash) is
-    recognized: its recreated partition is dropped without re-folding —
-    no double count. Returns the number of batch partitions folded."""
+    the batch_key list is collected once and both the merge input and
+    the partition drop are filtered to it, so a micro-batch landing
+    between the two (stream still running) is neither folded nor
+    dropped — it just waits for the next compaction. Folded batch_keys
+    (= <stream-id>-<batch_id>, the stream id being the checkpoint's
+    stable identity) are recorded as checkpoint partition ids, so a
+    foreachBatch REPLAY of an already-folded batch (at-least-once
+    delivery after a crash) is recognized and its recreated partition
+    dropped without re-folding — no double count — while a FRESH
+    checkpoint's batch 0 carries a new stream id and is folded normally
+    (a bare-batch_id ledger would have silently dropped it). The ledger
+    lookup is filtered to the present keys, so its cost is bounded by
+    the un-compacted batch count, never by the all-time fold history.
+    Returns the number of batch partitions folded."""
     from drought_t_spark.ops import checkpoints as CP
     from drought_t_spark.sources.warehouse import Warehouse
 
     if not wh.exists(PARTIALS_TBL):
         return 0
     present = [
-        str(r.batch_id)
-        for r in wh.read(spark, PARTIALS_TBL).select("batch_id").distinct().collect()
+        str(r.batch_key)
+        for r in wh.read(spark, PARTIALS_TBL).select("batch_key").distinct().collect()
     ]
     if not present:
         return 0
     folded_before = {
         r.partition_id
-        for r in CP.committed_partitions(spark, wh, job_id, "stream_compact").collect()
+        for r in CP.committed_partitions(spark, wh, job_id, "stream_compact")
+        .where(F.col("partition_id").isin([f"batch:{b}" for b in present]))
+        .collect()
     }
     replayed = [b for b in present if f"batch:{b}" in folded_before]
     if replayed:  # already in the tier — drop without re-folding
-        wh.drop_partitions(PARTIALS_TBL, "batch_id", replayed)
-    batch_ids = [b for b in present if f"batch:{b}" not in folded_before]
-    if not batch_ids:
+        wh.drop_partitions(PARTIALS_TBL, "batch_key", replayed)
+    batch_keys = [b for b in present if f"batch:{b}" not in folded_before]
+    if not batch_keys:
         return 0
     # pin the fold to exactly these batches: a later-landing partition
     # must not be folded here (it would be double-counted after replay)
     partials = wh.read(spark, PARTIALS_TBL).where(
-        F.col("batch_id").isin([int(b) for b in batch_ids])
+        F.col("batch_key").isin(batch_keys)
     )
     n_partials = partials.count()  # BEFORE the partitions are dropped
     # merge ONLY the affected source partitions; materialize before the
@@ -217,14 +255,14 @@ def compact_stream_partials(spark: SparkSession, wh, job_id: str = "stream-compa
     ).localCheckpoint(eager=True)
     # dynamic overwrite replaces exactly the affected source partitions
     wh.write_partitioned(merged, "agg.tier_hour", ["source"])
-    wh.drop_partitions(PARTIALS_TBL, "batch_id", batch_ids)
+    wh.drop_partitions(PARTIALS_TBL, "batch_key", batch_keys)
     CP.record_commit(
-        spark, wh, job_id, "stream_compact", [f"batch:{b}" for b in batch_ids],
+        spark, wh, job_id, "stream_compact", [f"batch:{b}" for b in batch_keys],
         snapshot_id=Warehouse.snapshot_token(merged, ["source", "bucket_start"]),
         rows_in=n_partials, rows_out=merged.count(),
-        metrics={"folded_batches": float(len(batch_ids))},
+        metrics={"folded_batches": float(len(batch_keys))},
     )
-    return len(batch_ids)
+    return len(batch_keys)
 
 
 def run_to_memory(spark: SparkSession, path: str, name: str = "stream_tier_hour"):

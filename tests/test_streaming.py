@@ -97,7 +97,7 @@ def test_stream_ingest_incremental_and_compaction(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     _assert_same_stats(read_stream_hour_tier(spark, wh), batch_truth())
-    n_batches = wh.read(spark, PARTIALS_TBL).select("batch_id").distinct().count()
+    n_batches = wh.read(spark, PARTIALS_TBL).select("batch_key").distinct().count()
     assert n_batches >= 2
 
     # compaction folds partials into the committed tier, same answer
@@ -150,8 +150,8 @@ def test_compaction_incremental_and_replay_safe(spark, tmp_path):
     q.stop()
     # remember one folded batch's rows to fake a replay later
     partials = wh.read(spark, PARTIALS_TBL)
-    replay_bid = partials.select(F.max("batch_id")).first()[0]
-    replay_rows = partials.where(F.col("batch_id") == replay_bid).localCheckpoint(eager=True)
+    replay_bid = partials.select(F.max("batch_key")).first()[0]
+    replay_rows = partials.where(F.col("batch_key") == replay_bid).localCheckpoint(eager=True)
     assert compact_stream_partials(spark, wh) >= 1
     assert files_of("src_bbbb") == bbbb_before  # untouched partition intact
 
@@ -160,13 +160,46 @@ def test_compaction_incremental_and_replay_safe(spark, tmp_path):
 
     # simulate an at-least-once foreachBatch replay of a folded batch:
     # its partition reappears, but the next compaction must ignore it
-    wh.write_partitioned(replay_rows, PARTIALS_TBL, ["batch_id"])
+    wh.write_partitioned(replay_rows, PARTIALS_TBL, ["batch_key"])
     assert compact_stream_partials(spark, wh) == 0
     assert not wh.exists(PARTIALS_TBL) or wh.read(spark, PARTIALS_TBL).where(
-        F.col("batch_id") == replay_bid
+        F.col("batch_key") == replay_bid
     ).count() == 0
     _assert_same_stats(wh.read(spark, "agg.tier_hour"), truth)
     _assert_same_stats(read_stream_hour_tier(spark, wh), truth)
+
+
+def test_fresh_checkpoint_batch_zero_is_not_mistaken_for_replay(spark, tmp_path):
+    """Micro-batch ids restart at 0 under a NEW checkpoint. The folded-
+    batch ledger keys on <stream-id>-<batch_id> (the checkpoint's stable
+    identity), so incarnation 2's batch 0 must be FOLDED, not dropped as
+    a replay of incarnation 1's batch 0 — keying on bare batch_id lost
+    this data silently."""
+    from drought_t_spark.sources.warehouse import Warehouse
+    from drought_t_spark.streaming.rollup_stream import (
+        compact_stream_partials,
+        start_tier_ingest,
+    )
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    in1, in2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    # incarnation 1: hours 0-1, checkpoint ckpt1, compacted
+    _seq_batch(spark, list(range(120))).write.parquet(in1)
+    q = start_tier_ingest(spark, in1, wh, str(tmp_path / "ckpt1"))
+    q.processAllAvailable()
+    q.stop()
+    assert compact_stream_partials(spark, wh) >= 1
+    # incarnation 2: DIFFERENT data (hours 10-11), FRESH checkpoint —
+    # its micro-batch ids restart at 0
+    _seq_batch(spark, list(range(600, 720))).write.parquet(in2)
+    q = start_tier_ingest(spark, in2, wh, str(tmp_path / "ckpt2"))
+    q.processAllAvailable()
+    q.stop()
+    assert compact_stream_partials(spark, wh) >= 1  # folded, NOT dropped
+    tier = wh.read(spark, "agg.tier_hour")
+    # both incarnations' rows are present exactly once
+    both = spark.read.parquet(in1).unionByName(spark.read.parquet(in2))
+    _assert_same_stats(tier, R.rollup_hour(R.with_event_time(both)))
 
 
 def test_streaming_rollup_equals_batch(spark, tmp_path):
