@@ -50,13 +50,22 @@ def expire_tier(
     job_id: str,
     tier: str,
     cutoff,
+    archive_values: bool = False,
 ) -> dict:
     """Expire `tier` buckets with bucket_start < cutoff (tier-aligned).
 
     Safety invariant: every (source, coarser-bucket) that would lose
     fine rows must already exist in the committed coarser tier; the
     check is one left-anti join (J5 shape) and the whole call aborts
-    with RetentionError on any uncovered bucket. Returns counts."""
+    with RetentionError on any uncovered bucket. Returns counts.
+
+    `archive_values=True` additionally packs the doomed rows' float64
+    `value` series into `agg.value_history_<tier>` (one row per
+    (source, coarser bucket): minute-offset GZ1 + Gorilla-XOR GZ3
+    payloads — operators/value_history.py) BEFORE anything is dropped,
+    so the fine-grained series stays recoverable bit-exactly after the
+    integer stats have been downsampled away. The archive write is an
+    idempotent per-source-partition overwrite, like every other sink."""
     coarser = COARSER.get(tier)
     if coarser is None:
         raise ValueError(f"tier {tier!r} has no coarser tier to retain into")
@@ -98,6 +107,11 @@ def expire_tier(
         )
     n_before = df.count()
     n_doomed = doomed.count()
+    if n_doomed and archive_values:
+        from drought_t_spark.operators.value_history import pack_value_history
+
+        hist = pack_value_history(doomed, coarser)
+        wh.write_partitioned(hist, f"agg.value_history_{tier}", ["source"])
     if n_doomed:
         # rewrite only the source partitions that actually lose rows —
         # dynamic partition overwrite leaves the others untouched. A

@@ -104,6 +104,29 @@ def test_read_series_rejects_empty_range(spark, wh):
         read_series(spark, wh, "2024-02-02 00:00:00", "2024-02-01 00:00:00")
 
 
+def test_expire_with_value_history_archive(spark, tmp_path):
+    """archive_values=True: the doomed fine rows' float64 value series
+    is packed into agg.value_history_<tier> BEFORE expiry and unpacks
+    bit-exactly afterwards — downsample without losing the fine series."""
+    from drought_t_spark.operators.value_history import unpack_value_history
+
+    wh = Warehouse(str(tmp_path / "wh_arch"))
+    seqs = synth.sequences_df(spark, n_sources=3, n_total=25_000)
+    run_rollup_job(spark, wh, seqs, "jobA", CFG, n_groups=2, with_payloads=False)
+    cutoff = "2024-01-04 00:00:00"
+    doomed_before = (
+        wh.read(spark, "agg.tier_hour")
+        .where((F.col("bucket_start") < cutoff) & ~F.col("gap_filled"))
+        .select("source", "bucket_start", F.col("value").cast("double").alias("value"))
+        .localCheckpoint(eager=True)
+    )
+    res = expire_tier(spark, wh, "jobA", "hour", cutoff, archive_values=True)
+    assert res["expired"] > 0
+    back = unpack_value_history(wh.read(spark, "agg.value_history_hour"))
+    assert doomed_before.exceptAll(back).count() == 0
+    assert back.exceptAll(doomed_before).count() == 0
+
+
 def test_expire_refuses_uncovered_range(spark, tmp_path):
     wh2 = Warehouse(str(tmp_path / "wh_uncov"))
     seqs = synth.sequences_df(spark, n_sources=3, n_total=30_000)
