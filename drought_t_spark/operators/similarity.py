@@ -170,8 +170,12 @@ def train_ivf_centroids_kmeanspar(
     # kernels (a pandas UDF whose argument is a higher-order-function
     # expression fails Python-UDF extraction under an aggregate —
     # verified on Spark 4.1 — and NumPy normalization is faster anyway)
+    # `seed` is folded into the per-row hash, so BOTH the seed-candidate
+    # choice (min h) and every round's sampling hash vary with it — a
+    # dangling seed parameter would silently hand every caller the
+    # identical codebook
     dv = df.select(
-        F.xxhash64(F.col(id_col).cast("string")).alias("h"),
+        F.xxhash64(F.col(id_col).cast("string"), F.lit(int(seed))).alias("h"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
     )
 

@@ -110,8 +110,21 @@ def expire_tier(
     if n_doomed and archive_values:
         from drought_t_spark.operators.value_history import pack_value_history
 
-        hist = pack_value_history(doomed, coarser)
-        wh.write_partitioned(hist, f"agg.value_history_{tier}", ["source"])
+        # partitioned by (source, cb=yyyyMMdd of the coarse bucket):
+        # successive retention cycles have strictly increasing ALIGNED
+        # cutoffs, so each cycle's coarse buckets are disjoint from every
+        # earlier cycle's — dynamic overwrite therefore replaces only
+        # THIS cycle's buckets (crash-replay of one cycle stays
+        # idempotent) and never destroys previously archived history.
+        # Partitioning by source alone did exactly that (one cycle wiped
+        # the whole source=X partition, including older cycles' rows).
+        # cb is int32 (yyyyMMdd — numeric order == date order) so the
+        # read path's literal range filter prunes partitions without
+        # fighting hive partition-type inference
+        hist = pack_value_history(doomed, coarser).withColumn(
+            "cb", F.date_format("bucket_start", "yyyyMMdd").cast("int")
+        )
+        wh.write_partitioned(hist, f"agg.value_history_{tier}", ["source", "cb"])
     if n_doomed:
         # rewrite only the source partitions that actually lose rows —
         # dynamic partition overwrite leaves the others untouched. A
@@ -143,6 +156,76 @@ def expire_tier(
         metrics={"expired_rows": float(n_doomed)},
     )
     return {"expired": n_doomed, "kept": n_before - n_doomed}
+
+
+def read_values(
+    spark: SparkSession,
+    wh: Warehouse,
+    tier: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Fine-grained float64 `value` series of `tier` over [lo, hi) —
+    including ranges already EXPIRED behind the retention horizon.
+
+    Rows still in the live tier are served straight from it (non-gap-
+    filled, literal range filter → pushdown). The sub-horizon part comes
+    from `agg.value_history_<tier>`: the coarse-bucket partitions
+    overlapping the range are pruned by the `cb` partition int
+    (yyyyMMdd — numeric order == date order, so a literal range
+    prunes exactly), unpacked bit-exactly (GZ1 offsets + GZ3 XOR
+    floats), then row-filtered to [lo, hi). The two sets are disjoint by
+    construction (expire archives exactly what it drops); the
+    crash-window overlap (archive written, drop not reached) is closed
+    with a dropDuplicates on the key — both copies are bit-identical.
+    Output: (source, bucket_start, value)."""
+    from datetime import datetime
+
+    def _parse(t) -> datetime:
+        return t if isinstance(t, datetime) else datetime.fromisoformat(str(t))
+
+    lo_t, hi_t = _parse(lo), _parse(hi)
+    if not lo_t < hi_t:
+        raise ValueError(f"read_values needs lo < hi, got [{lo_t}, {hi_t})")
+    coarser = COARSER.get(tier)
+    lo_lit, hi_lit = F.lit(lo_t).cast("timestamp"), F.lit(hi_t).cast("timestamp")
+    in_range = (F.col("bucket_start") >= lo_lit) & (F.col("bucket_start") < hi_lit)
+
+    pieces: list[DataFrame] = []
+    if wh.exists(f"agg.tier_{tier}"):
+        pieces.append(
+            wh.read(spark, f"agg.tier_{tier}")
+            .where(~F.col("gap_filled") & in_range)
+            .select("source", "bucket_start", F.col("value").cast("double").alias("value"))
+        )
+    hist_tbl = f"agg.value_history_{tier}"
+    if coarser is not None and wh.exists(hist_tbl):
+        from drought_t_spark.operators.value_history import unpack_value_history
+
+        # coarse bucket holding lo: floor to the coarser boundary so the
+        # partition range covers fine rows late inside that bucket
+        c_lo = (
+            lo_t.replace(hour=0, minute=0, second=0, microsecond=0)
+            if coarser == "day"
+            else lo_t.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+        )
+        hist = wh.read(spark, hist_tbl).where(
+            (F.col("cb") >= F.lit(int(c_lo.strftime("%Y%m%d"))))
+            & (F.col("cb") <= F.lit(int(hi_t.strftime("%Y%m%d"))))
+        )
+        pieces.append(unpack_value_history(hist).where(in_range))
+    if not pieces:
+        raise ValueError(f"no live tier or value-history archive for {tier!r}")
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    # full-row distinct, NOT dropDuplicates(["source","bucket_start"]):
+    # the crash-window duplicates are bit-identical whole rows (GZ3 is
+    # exact), so distinct() is equivalent — and a subset-dropDuplicates
+    # (first() aggregate) over this Generate plan trips a Spark 4.1
+    # binding bug ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND]) the moment a
+    # downstream exceptAll/aggregate reshapes it
+    return out.distinct()
 
 
 def read_series(

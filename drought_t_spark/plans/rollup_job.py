@@ -86,13 +86,31 @@ def run_rollup_job(
         if with_payloads:
             pay = R.pack_payloads(part, "hour", cfg)
             wh.write_partitioned(pay, "agg.payload_hour", ["source"])
-        srow = stats.agg(
-            F.count("*").alias("n"), F.sum("n_tok_sum").alias("tok")
-        ).first()
-        n_out, tok = int(srow["n"]), int(srow["tok"] or 0)
+        # lineage counts + snapshot token come from the WRITTEN table,
+        # never from `stats` — which is the full salted-aggregation DAG
+        # over the group's raw scan, so each extra consumer would
+        # re-execute the whole rollup (Spark has no plan-level CSE).
+        # Dynamic overwrite just replaced exactly this group's source
+        # partitions with `stats`, so filtering the read-back by the
+        # group hash recovers the written rows via a 3-column
+        # column-pruned parquet scan; one aggregation job yields count,
+        # token sum, and the content hash together.
+        wrow = (
+            wh.read(spark, "agg.tier_hour")
+            .where(group_expr(n_groups) == g)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("n_tok_sum").alias("tok"),
+                F.sum(
+                    F.expr("xxhash64(source, bucket_start)").cast("decimal(38,0)")
+                ).alias("h"),
+            )
+            .first()
+        )
+        n_out, tok = int(wrow["n"]), int(wrow["tok"] or 0)
         CP.record_commit(
             spark, wh, job_id, "hour", [f"{n_groups}:{g}"],
-            snapshot_id=Warehouse.snapshot_token(stats, ["source", "bucket_start"]),
+            snapshot_id=f"{n_out}:{wrow['h'] or 0}",
             rows_in=n_in, rows_out=n_out,
             metrics={"rolled_points": float(n_out), "tokens": float(tok)},
         )

@@ -87,8 +87,17 @@ def _stream_identity(checkpoint_dir: str) -> str:
         with open(meta) as f:
             # partition-path-safe (hive escapes ':' etc. in dir names)
             return re.sub(r"[^0-9a-zA-Z]", "", str(json.load(f)["id"]))
-    except (OSError, ValueError, KeyError):
-        return "s0"  # pre-start or exotic checkpoint layout; degrade gracefully
+    except (OSError, ValueError, KeyError) as e:
+        # FAIL LOUDLY: a shared fallback constant would let two distinct
+        # fresh checkpoints alias one stream id with batch ids both
+        # restarting at 0 — recreating exactly the silent
+        # new-data-dropped-as-replay bug the stream id exists to prevent.
+        # The sink resolves this lazily on the first micro-batch, by
+        # which point Spark has always written <ckpt>/metadata.
+        raise RuntimeError(
+            f"cannot read stream identity from {meta!r}; refusing to "
+            f"ingest without a collision-free batch_key prefix"
+        ) from e
 
 
 def start_tier_ingest(spark: SparkSession, path: str, wh, checkpoint_dir: str,
@@ -255,13 +264,22 @@ def compact_stream_partials(spark: SparkSession, wh, job_id: str = "stream-compa
     ).localCheckpoint(eager=True)
     # dynamic overwrite replaces exactly the affected source partitions
     wh.write_partitioned(merged, "agg.tier_hour", ["source"])
-    wh.drop_partitions(PARTIALS_TBL, "batch_key", batch_keys)
+    # ledger BEFORE the partition drop: a crash between the two leaves
+    # folded-but-present partials, which the next compaction recognizes
+    # from the ledger and drops WITHOUT re-folding (the `replayed` path
+    # above). The only remaining unsafe window is tier-write → ledger —
+    # a crash exactly there leaves folded partials unledgered and the
+    # next compaction double-folds them. That gap is irreducible on the
+    # parquet shim (two separate writes can't be atomic); on Iceberg the
+    # tier overwrite and the ledger append become one transaction and
+    # the window closes. Documented, not hidden.
     CP.record_commit(
         spark, wh, job_id, "stream_compact", [f"batch:{b}" for b in batch_keys],
         snapshot_id=Warehouse.snapshot_token(merged, ["source", "bucket_start"]),
         rows_in=n_partials, rows_out=merged.count(),
         metrics={"folded_batches": float(len(batch_keys))},
     )
+    wh.drop_partitions(PARTIALS_TBL, "batch_key", batch_keys)
     return len(batch_keys)
 
 

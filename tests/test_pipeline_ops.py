@@ -178,6 +178,10 @@ def test_ivf_kmeanspar_distributed_trainer(spark, emb):
     # deterministic under any partitioning (seeded hashes, no RNG state)
     C2 = SIM.train_ivf_centroids_kmeanspar(aug.repartition(13), n_centroids=16)
     np.testing.assert_allclose(np.sort(C, axis=0), np.sort(C2, axis=0), atol=1e-12)
+    # the seed parameter is actually consumed: a different seed changes
+    # the oversampling draw, so the codebook differs
+    C3 = SIM.train_ivf_centroids_kmeanspar(aug, n_centroids=16, seed=7)
+    assert not np.allclose(np.sort(C, axis=0), np.sort(C3, axis=0), atol=1e-9)
     # quantization sanity: beats seeded random directions
     pdf = emb.toPandas()
     X = np.stack(pdf.embedding.map(np.asarray)).astype(np.float64)

@@ -97,6 +97,33 @@ def test_lineage_and_metrics_written(spark, seqs, tmp_path):
     assert int(got) == hour_rows
 
 
+def test_hour_rollup_executes_exactly_once_per_group(spark, seqs, tmp_path, monkeypatch):
+    """Hour-tier lineage counts and the snapshot token must come from
+    the WRITTEN table, not from re-consuming the `stats` DAG: an
+    accumulator spliced into each group's rollup input counts every raw
+    row that flows through the salted aggregation — with the old
+    stats.agg(...).first() + snapshot_token(stats) shape each group's
+    rollup executed three times (~3× raw rows through the accumulator)."""
+    from drought_t_spark.operators import rollup as R
+
+    acc = spark.sparkContext.accumulator(0)
+    real_rollup = R.rollup_hour
+
+    def counting_rollup(df, *a, **kw):
+        def cnt(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        return real_rollup(df.mapInPandas(cnt, df.schema), *a, **kw)
+
+    monkeypatch.setattr(R, "rollup_hour", counting_rollup)
+    wh = Warehouse(str(tmp_path / "wh_once_hour"))
+    run_rollup_job(spark, wh, seqs, "jobOH", CFG, n_groups=2, with_payloads=False)
+    # every raw row passes through the hour aggregation exactly once
+    assert acc.value == seqs.count()
+
+
 def test_cascade_executes_exactly_once_per_tier(spark, seqs, tmp_path, monkeypatch):
     """Lineage counts must come from the written table, not from
     re-executing the cascade DAG: an accumulator spliced into the

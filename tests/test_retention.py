@@ -127,6 +127,50 @@ def test_expire_with_value_history_archive(spark, tmp_path):
     assert back.exceptAll(doomed_before).count() == 0
 
 
+def test_value_history_survives_cycles_and_serves_reads(spark, tmp_path):
+    """Two retention cycles: cycle 2's dynamic overwrite must NOT wipe
+    cycle 1's archived history (the archive is partitioned by
+    (source, coarse bucket), and successive aligned cutoffs touch
+    disjoint coarse buckets). Then `read_values` over a range straddling
+    the retention horizon serves the expired part bit-exactly from the
+    archive and the live part from the tier."""
+    from drought_t_spark.operators.value_history import unpack_value_history
+    from drought_t_spark.plans.retention import read_values
+
+    wh = Warehouse(str(tmp_path / "wh_arch2"))
+    seqs = synth.sequences_df(spark, n_sources=3, n_total=25_000)
+    run_rollup_job(spark, wh, seqs, "jobA2", CFG, n_groups=2, with_payloads=False)
+    fine = (
+        wh.read(spark, "agg.tier_hour")
+        .where(~F.col("gap_filled"))
+        .select("source", "bucket_start", F.col("value").cast("double").alias("value"))
+        .localCheckpoint(eager=True)
+    )
+    r1 = expire_tier(spark, wh, "jobA2", "hour", "2024-01-03 00:00:00",
+                     archive_values=True)
+    n_cycle1 = unpack_value_history(
+        wh.read(spark, "agg.value_history_hour")
+    ).count()
+    assert r1["expired"] > 0 and n_cycle1 > 0
+    r2 = expire_tier(spark, wh, "jobA2", "hour", "2024-01-05 00:00:00",
+                     archive_values=True)
+    assert r2["expired"] > 0
+    back = unpack_value_history(wh.read(spark, "agg.value_history_hour"))
+    # cycle 1's rows survived cycle 2's overwrite: the archive now holds
+    # EVERY expired fine row, not just the latest cycle's
+    expected = fine.where(F.col("bucket_start") < "2024-01-05")
+    assert back.exceptAll(expected).count() == 0
+    assert expected.exceptAll(back).count() == 0
+    assert back.count() > n_cycle1
+    # archive-backed read across the horizon: bit-exact fine values
+    got = read_values(spark, wh, "hour", "2024-01-02 00:00:00", "2024-01-07 00:00:00")
+    want = fine.where(
+        (F.col("bucket_start") >= "2024-01-02") & (F.col("bucket_start") < "2024-01-07")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_expire_refuses_uncovered_range(spark, tmp_path):
     wh2 = Warehouse(str(tmp_path / "wh_uncov"))
     seqs = synth.sequences_df(spark, n_sources=3, n_total=30_000)
