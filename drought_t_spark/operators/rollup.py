@@ -140,11 +140,22 @@ def grouped_stream(batches, key_cols, emit):
         yield flush(carry, complete_only=False)
 
 
-def _encode_stream(batches, wrap_zlib: bool = False):
-    """mapInPandas kernel: concat+encode each (source, bucket_start,
-    chunk_id) group's tokens, ordered by seq (the sort key)."""
+def _encode_arrow_stream(batches, wrap_zlib: bool = False):
+    """mapInArrow kernel: concat+encode each (source, bs_epoch,
+    chunk_id) group's tokens, ordered by seq (the sort key).
+
+    Arrow, not pandas: the hot input column is `tokens` (list<int32>),
+    and Arrow's list layout is ONE contiguous values buffer + offsets —
+    a group's flattened token stream is `values[offs[s]:offs[e]]`, a
+    single zero-copy slice. The pandas route materializes every row as
+    its own numpy object then re-concatenates per group; measured at
+    sf0.1 that conversion alone cost ~0.9 s of a 2.3 s stage — more
+    than the codec itself. Group boundaries are adjacent-change
+    positions on the sorted keys (vectorized); a group spanning a batch
+    boundary is carried into the next batch, the trailing carry flushes
+    at end (same contract as `grouped_stream`)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     from drought_t_spark.codec import tsz1
 
@@ -153,35 +164,64 @@ def _encode_stream(batches, wrap_zlib: bool = False):
     else:
         enc = tsz1.encode_tokens
 
-    def emit(pdf, starts, ends):
-        src = pdf["source"].to_numpy()
-        bkt = pdf["bucket_start"].to_numpy()
-        chk = pdf["chunk_id"].to_numpy()
-        toks = pdf["tokens"].to_numpy()
-        ntok = pdf["n_tok"].to_numpy()
-        out_src, out_bkt, out_chk, out_pay, out_n = [], [], [], [], []
-        for s, e in zip(starts, ends):
-            flat = (
-                np.concatenate([np.asarray(t, np.int32) for t in toks[s:e]])
-                if e > s
-                else np.array([], np.int32)
-            )
-            out_src.append(src[s])
-            out_bkt.append(bkt[s])
-            out_chk.append(int(chk[s]))
-            out_pay.append(enc(flat))
-            out_n.append(int(ntok[s:e].sum()))
-        return pd.DataFrame(
-            {
-                "source": out_src,
-                "bucket_start": pd.Series(out_bkt, dtype="datetime64[us]"),
-                "chunk_id": pd.Series(out_chk, dtype="int32"),
-                "payload": out_pay,
-                "payload_n_tokens": pd.Series(out_n, dtype="int64"),
-            }
+    carry = None  # (src, bs, chk, ntok, flat, offs) with offs[0] == 0
+
+    def split(src, bs, chk):
+        n = len(src)
+        m = (src[1:] != src[:-1]) | (bs[1:] != bs[:-1]) | (chk[1:] != chk[:-1])
+        chg = np.flatnonzero(m)
+        return np.concatenate([[0], chg + 1]), np.concatenate([chg + 1, [n]])
+
+    def emit(src, bs, chk, ntok, flat, offs, starts, ends):
+        pays = [
+            enc(flat[offs[s]:offs[e]].astype(np.int32, copy=False))
+            for s, e in zip(starts, ends)
+        ]
+        nn = [int(ntok[s:e].sum()) for s, e in zip(starts, ends)]
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(src[starts].tolist(), type=pa.string()),
+                pa.array(bs[starts], type=pa.int64()),
+                pa.array(chk[starts].astype("int32"), type=pa.int32()),
+                pa.array(pays, type=pa.binary()),
+                pa.array(nn, type=pa.int64()),
+            ],
+            names=["source", "bs_epoch", "chunk_id", "payload", "payload_n_tokens"],
         )
 
-    yield from grouped_stream(batches, ["source", "bucket_start", "chunk_id"], emit)
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        src = rb.column(0).to_numpy(zero_copy_only=False)
+        bs = rb.column(1).to_numpy()
+        chk = rb.column(2).to_numpy()
+        tl = rb.column(3)
+        ntok = rb.column(4).to_numpy()
+        offs_raw = tl.offsets.to_numpy()  # n+1 offsets into the values buffer
+        vals = tl.values.to_numpy(zero_copy_only=False)
+        offs = (offs_raw - offs_raw[0]).astype(np.int64)
+        flat = vals[offs_raw[0]:offs_raw[-1]]
+        if carry is not None:
+            csrc, cbs, cchk, cntok, cflat, coffs = carry
+            src = np.concatenate([csrc, src])
+            bs = np.concatenate([cbs, bs])
+            chk = np.concatenate([cchk, chk])
+            ntok = np.concatenate([cntok, ntok])
+            offs = np.concatenate([coffs, offs[1:] + coffs[-1]])
+            flat = np.concatenate([cflat, flat])
+        starts, ends = split(src, bs, chk)
+        s_last = starts[-1]
+        carry = (
+            src[s_last:], bs[s_last:], chk[s_last:], ntok[s_last:],
+            flat[offs[s_last]:].copy(), (offs[s_last:] - offs[s_last]).copy(),
+        )
+        starts, ends = starts[:-1], ends[:-1]
+        if len(starts):
+            yield emit(src, bs, chk, ntok, flat, offs, starts, ends)
+    if carry is not None and len(carry[0]):
+        src, bs, chk, ntok, flat, offs = carry
+        starts, ends = split(src, bs, chk)
+        yield emit(src, bs, chk, ntok, flat, offs, starts, ends)
 
 
 def pack_payloads(
@@ -199,9 +239,12 @@ def pack_payloads(
     bound from SURVEY.md §4.
 
     Shape: repartition by group key + sortWithinPartitions +
-    mapInPandas — ONE plain row shuffle, whole-partition Arrow streams,
-    group boundaries found vectorized in NumPy. Rejected shapes, both
-    measured on 118M tokens at local[8..32]:
+    mapInArrow — ONE plain row shuffle, whole-partition Arrow streams,
+    group boundaries found vectorized in NumPy, and each group's token
+    stream taken as a single zero-copy slice of the Arrow list-values
+    buffer (see `_encode_arrow_stream`; the pandas kernel's per-row
+    object materialization cost more than the codec). Rejected shapes,
+    both measured on 118M tokens at local[8..32]:
       * collect_list→array_sort→flatten→pandas_udf: same data movement
         but builds every group as JVM object trees (ObjectHashAggregate)
         — 4-8× slower wall, ~20× kernel time from the allocation storm;
@@ -221,17 +264,32 @@ def pack_payloads(
         .cast("int")
         .alias("chunk_id")
     )
+    # bucket_start travels through the Python boundary as epoch seconds
+    # (bucket starts are whole seconds) — dodges the Arrow<->Spark
+    # timestamp-timezone impedance entirely; cast back after the kernel
     base = (
         seqs_t1.select("source", bucket, "ts", "seq", "tokens", "n_tok")
         .withColumn("chunk_id", chunk)
-        .drop("ts")
+        .select(
+            # positional contract with _encode_arrow_stream: it reads
+            # rb.column(0..4) in exactly this order
+            "source",
+            F.col("bucket_start").cast("long").alias("bs_epoch"),
+            "chunk_id", "tokens", "n_tok", "seq",
+        )
     )
-    parts = base.repartition("source", "bucket_start", "chunk_id").sortWithinPartitions(
-        "source", "bucket_start", "chunk_id", "seq"
+    parts = base.repartition("source", "bs_epoch", "chunk_id").sortWithinPartitions(
+        "source", "bs_epoch", "chunk_id", "seq"
     )
     wrap = bool(cfg.payload_zlib)
-    pay = parts.mapInPandas(
-        lambda batches: _encode_stream(batches, wrap_zlib=wrap), _PAYLOAD_SCHEMA
+    pay = parts.drop("seq").mapInArrow(
+        lambda batches: _encode_arrow_stream(batches, wrap_zlib=wrap),
+        "source string, bs_epoch long, chunk_id int, "
+        "payload binary, payload_n_tokens long",
+    ).select(
+        "source",
+        F.col("bs_epoch").cast("timestamp").alias("bucket_start"),
+        "chunk_id", "payload", "payload_n_tokens",
     )
     codec_name = cfg.payload_codec + ("+zlib" if wrap else "")
     return (

@@ -141,6 +141,22 @@ def test_payload_cascade_equals_from_raw(spark, seqs):
     assert c.exceptAll(d).count() == 0 and d.exceptAll(c).count() == 0
 
 
+def test_pack_payloads_plan_is_streamed_arrow(spark, seqs, tmp_path):
+    """The raw-tier pack must keep its streaming shape — one Exchange +
+    one Sort + one MapInArrow — with NO pandas boundary at all: the
+    Arrow kernel slices each group's token stream zero-copy from the
+    list-values buffer, so a regression to mapInPandas (per-row object
+    materialization) or applyInPandas (per-group Arrow batches) is a
+    measured multi-×  slowdown on the north-rule headline metric."""
+    p = str(tmp_path / "seqs_pp")
+    seqs.write.parquet(p)
+    df = R.pack_payloads(R.with_event_time(spark.read.parquet(p)), "hour", CFG)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+    assert plan.count("MapInArrow") == 1
+    assert plan.count("Exchange") == 1 and plan.count("Sort") == 1
+
+
 def test_cascade_payloads_plan_is_streamed(spark, seqs, tmp_path):
     """The cascade must keep pack_payloads' streaming shape — one
     Exchange + one Sort + one MapInPandas — and never fall back to the
