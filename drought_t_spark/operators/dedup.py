@@ -75,6 +75,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.7,
     max_bucket: int = 256,
     materialize=None,
+    counters: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH: banding tuned to the
     threshold, signature-estimate prefilter, exact Jaccard verify.
@@ -142,6 +143,12 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if counters is not None:
+        # bench/diagnostic knob: materialize the candidate set and record
+        # the funnel's stage-1 selectivity; downstream reuses the
+        # checkpoint, so the band join still runs once. Zero cost when off.
+        cand = materialize(cand)
+        counters["stage1_band_candidates"] = cand.count()
     # stage 2: signature-estimate prefilter (3σ + slack below threshold)
     import math
 
@@ -158,6 +165,9 @@ def minhash_lsh_pairs(
         .where(F.col("est_j") >= est_cut)
         .select("id_a", "id_b")
     )
+    if counters is not None:
+        est = materialize(est)
+        counters["stage2_estimate_survivors"] = est.count()
     # stage 3: exact Jaccard on the shingle sets of the survivors
     sh_tbl = base.select("id", shingles("text", k).alias("sh"))
     jac = (
@@ -247,6 +257,7 @@ def embedding_near_dups(
     n_bands: int = 4,
     seed: int = 42,
     materialize=None,
+    counters: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dups: BANDED random-hyperplane LSH (the
     MinHash OR-of-ANDs amplification lifted to sign bits), exact cosine
@@ -300,6 +311,10 @@ def embedding_near_dups(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if counters is not None:
+        # bench/diagnostic knob, same semantics as minhash_lsh_pairs
+        cand = materialize(cand)
+        counters["band_candidates"] = cand.count()
     scored = (
         cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
         .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")

@@ -13,14 +13,19 @@ Determinism: `updated_seq` is a counter, never wall-clock — seeded ONCE
 per warehouse from the existing table (max+1) and advanced in-process
 afterwards, so commit cost is independent of ops-table size (the old
 per-commit max-scan was O(table) and got slower as the ops tables
-grew). The guarantee is scoped honestly: the seq TOTALLY ORDERS commits
-within one driver process; across processes it only orders relative to
-the table state at this process's first commit, so two writer processes
-interleaving on one warehouse may repeat seq values. That is acceptable
-because nothing in resume depends on seq — `pending_partitions`
-anti-joins on (job_id, stage, partition_id, state) — and the production
-Iceberg runtime replaces the column with snapshot ids (docs/ICEBERG.md),
-which ARE globally ordered by the catalog's commit log.
+grew). Cross-process UNIQUENESS is enforced by an O_EXCL claim marker
+per value (`ops/_seq/<n>` — atomic create on POSIX): a process whose
+in-process counter lands on a value another writer already claimed
+skips forward until its create succeeds. This is the parquet-shim
+analogue of what the Iceberg catalog does natively — CAS on the next
+snapshot id — and costs O(1) amortized per commit (one create; skips
+only when writers actually interleaved). Scope stays honest: seq
+TOTALLY ORDERS commits within one process and NEVER REPEATS across
+processes, but interleaved writers' values are claim-race order, not
+wall-clock order. Nothing in resume depends on seq either way —
+`pending_partitions` anti-joins on (job_id, stage, partition_id,
+state) — and the production Iceberg runtime replaces the column with
+catalog snapshot ids (docs/ICEBERG.md).
 """
 
 from __future__ import annotations
@@ -40,6 +45,8 @@ _SEQ_CACHE: dict[str, int] = {}
 
 
 def _next_seq(spark: SparkSession, wh: Warehouse) -> int:
+    import os
+
     key = wh.root
     if key not in _SEQ_CACHE:
         if not wh.exists(CHECKPOINT_TBL):
@@ -47,8 +54,23 @@ def _next_seq(spark: SparkSession, wh: Warehouse) -> int:
         else:
             row = wh.read(spark, CHECKPOINT_TBL).agg(F.max("updated_seq")).first()
             _SEQ_CACHE[key] = int(row[0] or 0)
-    _SEQ_CACHE[key] += 1
-    return _SEQ_CACHE[key]
+    n = _SEQ_CACHE[key] + 1
+    # claim the value with an atomic O_EXCL create — a concurrent writer
+    # that already claimed n (its commit may not be visible in the table
+    # yet) forces a skip, so two processes can interleave commits on one
+    # warehouse without ever repeating a seq. A crash between claim and
+    # append just burns the value (markers are claims, not commits).
+    seq_dir = os.path.join(wh.root, "ops", "_seq")
+    os.makedirs(seq_dir, exist_ok=True)
+    while True:
+        try:
+            os.close(os.open(os.path.join(seq_dir, str(n)),
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            break
+        except FileExistsError:
+            n += 1
+    _SEQ_CACHE[key] = n
+    return n
 
 
 def committed_partitions(spark: SparkSession, wh: Warehouse, job_id: str, stage: str) -> DataFrame:

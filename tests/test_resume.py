@@ -97,6 +97,37 @@ def test_lineage_and_metrics_written(spark, seqs, tmp_path):
     assert int(got) == hour_rows
 
 
+def test_interleaved_writer_processes_never_repeat_seq(spark, tmp_path, monkeypatch):
+    """Two driver processes committing to ONE warehouse must never
+    repeat an `updated_seq` value, even though each seeds its in-process
+    counter only once: the O_EXCL claim marker (the shim's stand-in for
+    the Iceberg catalog's snapshot-id CAS) forces the stale process to
+    skip past values the other already claimed. Processes are simulated
+    by swapping fresh _SEQ_CACHE dicts."""
+    wh = Warehouse(str(tmp_path / "wh_two_writers"))
+    cache_p1, cache_p2 = {}, {}
+
+    monkeypatch.setattr(CP, "_SEQ_CACHE", cache_p1)
+    CP.record_commit(spark, wh, "jobW", "s", ["p1a"], "0:0", 1, 1)  # P1 -> 1
+    monkeypatch.setattr(CP, "_SEQ_CACHE", cache_p2)
+    CP.record_commit(spark, wh, "jobW", "s", ["p2a"], "0:0", 1, 1)  # P2 seeds -> 2
+    monkeypatch.setattr(CP, "_SEQ_CACHE", cache_p1)
+    # P1's stale counter lands on 2 — already claimed by P2 — must skip
+    CP.record_commit(spark, wh, "jobW", "s", ["p1b"], "0:0", 1, 1)
+    monkeypatch.setattr(CP, "_SEQ_CACHE", cache_p2)
+    CP.record_commit(spark, wh, "jobW", "s", ["p2b"], "0:0", 1, 1)
+
+    rows = wh.read(spark, CP.CHECKPOINT_TBL).select(
+        "partition_id", "updated_seq"
+    ).collect()
+    seqs_seen = [r.updated_seq for r in rows]
+    assert len(seqs_seen) == len(set(seqs_seen)) == 4
+    # and resume still sees every commit
+    done = {r.partition_id for r in
+            CP.committed_partitions(spark, wh, "jobW", "s").collect()}
+    assert done == {"p1a", "p1b", "p2a", "p2b"}
+
+
 def test_hour_rollup_executes_exactly_once_per_group(spark, seqs, tmp_path, monkeypatch):
     """Hour-tier lineage counts and the snapshot token must come from
     the WRITTEN table, not from re-consuming the `stats` DAG: an

@@ -53,12 +53,16 @@ def main(n_sites: int = 64) -> None:
     tier = series_to_tier(spark.createDataFrame(pdf), ts_col="date").localCheckpoint(
         eager=True
     )
-    # warm (JVM/worker startup is not the method's cost), then min-of-2
-    # (host steal bursts — see BENCH/BASELINE.md §1)
+    # warm (JVM/worker startup is not the method's cost), then min-of-N
+    # (host steal bursts hit the 32-thread engine far harder than the
+    # single-thread pandas loop — consecutive identical engine runs
+    # have measured 14.5 s and 41.9 s; see BENCH/BASELINE.md §1).
+    # Cross-window protocol: run this tool several times across a
+    # session and report the per-size min of each column.
     drought_events_for_tier(tier, "day", CFG).count()
     walls = []
     got = 0
-    for _ in range(2):
+    for _ in range(int(os.environ.get("SPARK_GRAFT_VSREF_ITERS", "3"))):
         t0 = time.time()
         got = drought_events_for_tier(tier, "day", CFG).count()
         walls.append(time.time() - t0)
