@@ -253,9 +253,10 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 16,
-    n_bands: int = 4,
+    n_planes: int = 144,
+    n_bands: int = 6,
     seed: int = 42,
+    max_bucket: int = 200,
     materialize=None,
     counters: dict | None = None,
 ) -> DataFrame:
@@ -268,16 +269,29 @@ def embedding_near_dups(
     probability, so recall collapses as n_planes grows. Banding the
     planes (n_bands keys of n_planes/n_bands bits; a pair is a candidate
     if ANY band matches) keeps per-band selectivity while recall ≈
-    1-(1-(1-θ/π)^w)^b — ~1-1.5e-5 per pair at cosine 0.999 with 4×4
-    bits. Band rows carry only (id, band, bkey): the shuffle is 3 scalar
-    columns; vectors rejoin for surviving candidates only."""
-    from drought_t_spark.operators.similarity import hyperplane_bucket, cosine_expr
+    1-(1-(1-θ/π)^w)^b. Band rows carry only (id, band, bkey): the
+    shuffle is 3 scalar columns; vectors rejoin for surviving candidates
+    only.
+
+    Scale posture (reworked after the r4 1M-vector measurement, where
+    16-bit keys put ~15 members in every bucket → 64.7M structural
+    candidates for 9.9k true pairs): sign bits come from ONE Arrow
+    matmul per record batch (`hyperplane_band_rows` — no interpreted
+    per-plane HOF), which makes wide keys free, so the default is 6
+    bands of 24-bit keys (2^24 buckets: expected occupancy ≪ 1 at 10^6
+    rows, structural-collision mass ~2^-24 per random pair per band)
+    while near-dup recall stays ≈1-(1-0.984^24)^6 ≈ 0.999 at cosine
+    0.999. `max_bucket` additionally drops degenerate buckets (all-equal
+    or near-constant vector cohorts) exactly like `minhash_lsh_pairs`."""
+    from drought_t_spark.operators.similarity import (
+        cosine_expr,
+        hyperplane_band_rows,
+    )
 
     assert n_planes % n_bands == 0
-    w = n_planes // n_bands
     if materialize is None:
         materialize = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
-    # the vector table feeds the band explode AND both verify-join
+    # the vector table feeds the band kernel AND both verify-join
     # sides: materialized once (same posture as the minhash signature
     # table) so the input is scanned once, not 3-4×
     vecs = materialize(
@@ -286,24 +300,11 @@ def embedding_near_dups(
             F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
         )
     )
-    banded = (
-        vecs.withColumn("bucket", hyperplane_bucket("v", n_planes, seed))
-        .select(
-            "id",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned("bucket", i * w)
-                        .bitwiseAND(F.lit((1 << w) - 1))
-                        .alias("bkey"),
-                    )
-                    for i in range(n_bands)
-                ])
-            ).alias("b"),
-        )
-        .select("id", "b.band", "b.bkey")
-    )
+    banded = hyperplane_band_rows(vecs, n_planes, n_bands, seed)
+    sz = Window.partitionBy("band", "bkey")
+    banded = banded.withColumn("bsz", F.count("*").over(sz)).where(
+        F.col("bsz") <= max_bucket
+    ).drop("bsz")
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bkey"])

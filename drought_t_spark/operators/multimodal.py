@@ -180,7 +180,9 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64,
 
         with Image.open(io.BytesIO(payload)) as im:
             buf = io.BytesIO()
-            im.resize((width, height)).save(buf, format="PNG")
+            im.resize(
+                (width, height), resample=Image.Resampling.LANCZOS
+            ).save(buf, format="PNG")
             return buf.getvalue()
 
     def _stride_resize(payload) -> bytes:

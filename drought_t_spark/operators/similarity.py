@@ -48,7 +48,13 @@ def hyperplane_bucket(vec_col: str, n_planes: int = 12, seed: int = 42,
                       dim: int = 64) -> Column:
     """LSH bucket id: sign bits of dot products with seeded random
     hyperplanes (deterministic; planes inlined as literals, truncated
-    to `dim` — zip_with ignores trailing mismatch harmlessly)."""
+    to `dim` — zip_with ignores trailing mismatch harmlessly).
+
+    This is the pure-Catalyst form; it evaluates n_planes × dim
+    interpreted multiply-adds per row, so the hot paths
+    (`cosine_topk_lsh`, `embedding_near_dups`) use the Arrow kernels
+    below instead — same planes, same sign convention, one BLAS matmul
+    per record batch. Kept as the dependency-free reference expression."""
     rng = np.random.default_rng(seed)
     bits = []
     planes = rng.standard_normal((n_planes, 512))
@@ -57,6 +63,104 @@ def hyperplane_bucket(vec_col: str, n_planes: int = 12, seed: int = 42,
         dot = f"aggregate(zip_with({vec_col}, {lit}, (x, y) -> x * y), cast(0.0 as double), (s, x) -> s + x)"
         bits.append(f"CASE WHEN ({dot}) > 0 THEN shiftleft(1L, {p}) ELSE 0L END")
     return F.expr(" + ".join(bits))
+
+
+def hyperplanes(n_planes: int, seed: int = 42) -> np.ndarray:
+    """The seeded plane matrix every bucketing path shares. Generated as
+    one (n_planes, 512) row-major draw so a SMALLER n_planes with the
+    same seed yields a prefix of a larger one — kernel and driver-side
+    query bucketing stay consistent at any plane count."""
+    return np.random.default_rng(seed).standard_normal((n_planes, 512))
+
+
+def _batch_sign_bits(vcol, P: np.ndarray) -> np.ndarray:
+    """(n, n_planes) bool sign bits for one Arrow list<double> column:
+    zero-copy flatten → one X @ Pᵀ matmul when the batch's dims are
+    uniform (the normal case), per-row dots otherwise. Sign convention
+    is `dot > 0`, identical to `hyperplane_bucket` and the driver-side
+    query bucketing in `cosine_topk_lsh`."""
+    offs = vcol.offsets.to_numpy()
+    vals = vcol.values.to_numpy(zero_copy_only=False)
+    n = len(offs) - 1
+    lens = np.diff(offs)
+    if n and (lens == lens[0]).all():
+        d = int(lens[0])
+        X = vals[offs[0]: offs[-1]].reshape(n, d)
+        return (X @ P[:, :d].T) > 0
+    bits = np.zeros((n, len(P)), dtype=bool)
+    for i in range(n):
+        x = vals[offs[i]: offs[i + 1]]
+        bits[i] = (P[:, : len(x)] @ x) > 0
+    return bits
+
+
+def attach_hyperplane_bucket(dv: DataFrame, n_planes: int = 8,
+                             seed: int = 42) -> DataFrame:
+    """(id, v:array<double>) → (id, v, bucket:long) — the single-key LSH
+    bucket as one Arrow matmul + packbits per record batch. n_planes ≤
+    63 so the key fits an int64."""
+    assert n_planes <= 63, "single-key bucket packs into one int64"
+    P = hyperplanes(n_planes, seed)
+    pow2 = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            bits = _batch_sign_bits(rb.column(1), P)
+            bucket = (bits.astype(np.uint64) @ pow2).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), rb.column(1), pa.array(bucket, type=pa.int64())],
+                names=["id", "v", "bucket"],
+            )
+
+    id_t = dv.schema["id"].dataType.simpleString()
+    return dv.mapInArrow(kernel, f"id {id_t}, v array<double>, bucket bigint")
+
+
+def hyperplane_band_rows(dv: DataFrame, n_planes: int, n_bands: int,
+                         seed: int = 42) -> DataFrame:
+    """(id, v:array<double>) → (id, band:int, bkey:long) — banded LSH
+    keys straight from one Arrow kernel: X @ Pᵀ → sign bits → each
+    band's w = n_planes/n_bands bits packed into an int64. Emitting the
+    band rows inside the kernel (instead of bucket-then-posexplode)
+    keeps the shuffle 3 scalar columns wide and drops the int64
+    total-bucket ceiling: n_planes may exceed 64 as long as each BAND
+    key fits (w ≤ 63), which is what lets the near-dup path run wide,
+    selective keys (e.g. 144 planes / 6 bands of 24 bits)."""
+    w = n_planes // n_bands
+    assert w * n_bands == n_planes and w <= 63
+    P = hyperplanes(n_planes, seed)
+    pow2 = (np.uint64(1) << np.arange(w, dtype=np.uint64))
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            bits = _batch_sign_bits(rb.column(1), P)
+            # (n, n_bands) int64 band keys in one reshape + matmul
+            keys = (
+                bits.reshape(n, n_bands, w).astype(np.uint64) @ pow2
+            ).astype(np.int64)
+            ids = rb.column(0).take(pa.array(np.repeat(np.arange(n), n_bands)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
+                    pa.array(keys.ravel(), type=pa.int64()),
+                ],
+                names=["id", "band", "bkey"],
+            )
+
+    id_t = dv.schema["id"].dataType.simpleString()
+    return dv.select("id", "v").mapInArrow(
+        kernel, f"id {id_t}, band int, bkey bigint"
+    )
 
 
 def cosine_topk_lsh(
@@ -76,16 +180,19 @@ def cosine_topk_lsh(
     (1+n_planes)/2^n_planes fraction of the data scanned). Recall < 1 by
     design; `cosine_topk` is the exact baseline."""
     q = np.asarray(query_vec, dtype=np.float64)
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, 512))
+    planes = hyperplanes(n_planes, seed)
     qbucket = 0
     for p, plane in enumerate(planes):
         if float(np.dot(q, plane[: len(q)])) > 0:
             qbucket |= 1 << p
-    dv = df.select(
-        F.col(id_col),
-        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
-    ).withColumn("bucket", hyperplane_bucket("v", n_planes, seed, dim=len(q)))
+    dv = attach_hyperplane_bucket(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+        ),
+        n_planes,
+        seed,
+    ).withColumnRenamed("id", id_col)
     near = F.bit_count(
         F.col("bucket").bitwiseXOR(F.lit(qbucket))
     ) <= probe_hamming

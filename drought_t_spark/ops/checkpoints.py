@@ -26,6 +26,17 @@ wall-clock order. Nothing in resume depends on seq either way —
 `pending_partitions` anti-joins on (job_id, stage, partition_id,
 state) — and the production Iceberg runtime replaces the column with
 catalog snapshot ids (docs/ICEBERG.md).
+
+Marker lifecycle: claim markers are garbage-collected at seed time so
+long-lived warehouses don't accumulate one inode per commit forever.
+GC publishes a floor (`ops/_seq/_floor`, atomic tmp+rename) equal to
+the table's committed max BEFORE deleting markers at or below it, and
+every successful O_EXCL claim re-checks the floor afterwards — a stale
+process whose counter lands inside a GC'd region sees floor >= n and
+re-claims above it, so uniqueness survives concurrent GC. O_EXCL and
+rename atomicity are POSIX-local-filesystem guarantees: the marker
+scheme is scoped to the local-parquet shim; on object stores / real
+clusters the Iceberg catalog's snapshot CAS replaces it outright.
 """
 
 from __future__ import annotations
@@ -44,9 +55,43 @@ METRICS_TBL = "ops.metrics"
 _SEQ_CACHE: dict[str, int] = {}
 
 
+def _seq_floor(seq_dir: str) -> int:
+    """Highest GC'd seq value (no marker at or below it may be claimed)."""
+    import os
+
+    try:
+        with open(os.path.join(seq_dir, "_floor")) as f:
+            return int(f.read().strip() or 0)
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
+def _gc_markers(seq_dir: str, committed_max: int) -> None:
+    """Delete claim markers at/below the committed max — AFTER atomically
+    publishing that value as the floor, so a stale writer whose counter
+    lands in the cleared region re-claims above it (see module doc)."""
+    import os
+
+    floor = max(committed_max, _seq_floor(seq_dir))
+    if floor <= 0:
+        return
+    tmp = os.path.join(seq_dir, f"_floor.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        f.write(str(floor))
+    os.replace(tmp, os.path.join(seq_dir, "_floor"))  # atomic publish first
+    for name in os.listdir(seq_dir):
+        if name.isdigit() and int(name) <= floor:
+            try:
+                os.unlink(os.path.join(seq_dir, name))
+            except FileNotFoundError:
+                pass  # concurrent GC got it
+
+
 def _next_seq(spark: SparkSession, wh: Warehouse) -> int:
     import os
 
+    seq_dir = os.path.join(wh.root, "ops", "_seq")
+    os.makedirs(seq_dir, exist_ok=True)
     key = wh.root
     if key not in _SEQ_CACHE:
         if not wh.exists(CHECKPOINT_TBL):
@@ -54,21 +99,32 @@ def _next_seq(spark: SparkSession, wh: Warehouse) -> int:
         else:
             row = wh.read(spark, CHECKPOINT_TBL).agg(F.max("updated_seq")).first()
             _SEQ_CACHE[key] = int(row[0] or 0)
-    n = _SEQ_CACHE[key] + 1
+            # seed time = GC time: every value <= committed max is either
+            # durably in the table or burned by a crash; clearing them here
+            # bounds marker growth to one inode per commit per SESSION, not
+            # per warehouse lifetime.
+            _gc_markers(seq_dir, _SEQ_CACHE[key])
+    n = max(_SEQ_CACHE[key], _seq_floor(seq_dir)) + 1
     # claim the value with an atomic O_EXCL create — a concurrent writer
     # that already claimed n (its commit may not be visible in the table
     # yet) forces a skip, so two processes can interleave commits on one
     # warehouse without ever repeating a seq. A crash between claim and
     # append just burns the value (markers are claims, not commits).
-    seq_dir = os.path.join(wh.root, "ops", "_seq")
-    os.makedirs(seq_dir, exist_ok=True)
     while True:
         try:
             os.close(os.open(os.path.join(seq_dir, str(n)),
                              os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-            break
         except FileExistsError:
             n += 1
+            continue
+        # a create that succeeded INSIDE a concurrently-GC'd region is not
+        # a valid claim (the marker that would have blocked it was deleted
+        # after the floor advanced past n) — re-read the floor and go above.
+        floor = _seq_floor(seq_dir)
+        if n <= floor:
+            n = floor + 1
+            continue
+        break
     _SEQ_CACHE[key] = n
     return n
 

@@ -94,10 +94,18 @@ def run_rollup_job(
         # partitions with `stats`, so filtering the read-back by the
         # group hash recovers the written rows via a 3-column
         # column-pruned parquet scan; one aggregation job yields count,
-        # token sum, and the content hash together.
+        # token sum, and the content hash together. The semi-join scopes
+        # the read-back to sources present in THIS run's input (same
+        # guard as the cascade path below): dynamic overwrite leaves
+        # partitions of sources from earlier jobs/runs that hash into
+        # group g untouched, and lineage must describe this run's
+        # output, not stale rows. `part` only contributes its `source`
+        # column — a column-pruned scan, and the distinct source set is
+        # small enough that AQE broadcasts it.
         wrow = (
             wh.read(spark, "agg.tier_hour")
             .where(group_expr(n_groups) == g)
+            .join(part.select("source").distinct(), ["source"], "left_semi")
             .agg(
                 F.count("*").alias("n"),
                 F.sum("n_tok_sum").alias("tok"),
@@ -136,6 +144,19 @@ def run_rollup_job(
         src = hour if tier == "day" else wh.read(spark, "agg.tier_day")
         out = R.cascade(src, tier)
         wh.write_partitioned(out, f"agg.tier_{tier}", ["source"])
+        if with_payloads:
+            # payload cascade reads the COMPRESSED finer payload tier
+            # (never raw tokens — the 100 TB path: month payloads cost
+            # one scan of day payloads) and is idempotent like the
+            # stats cascade: full overwrite under the same stage token.
+            # All three payload tiers existing is what lets
+            # `read_payloads` route a [lo, hi) token range across the
+            # retention horizon (plans/retention.py).
+            pay_src = wh.read(spark, f"agg.payload_{'hour' if tier == 'day' else 'day'}")
+            wh.write_partitioned(
+                R.cascade_payloads(pay_src, tier, cfg),
+                f"agg.payload_{tier}", ["source"],
+            )
         # lineage counts and the snapshot token come from the WRITTEN
         # table and the (plain parquet) source read — never from `out`,
         # which would re-execute the cascade aggregation + upstream hour

@@ -181,3 +181,55 @@ def test_cascade_executes_exactly_once_per_tier(spark, seqs, tmp_path, monkeypat
     day_rows = wh.read(spark, "agg.tier_day").count()
     # day cascade reads each hour row once; month cascade each day row once
     assert acc.value == hour_rows + day_rows
+
+
+def test_hour_lineage_scoped_to_run_sources(spark, seqs, tmp_path):
+    """Hour-tier lineage read-back must be scoped to THIS run's sources:
+    a second job on the same warehouse seeing only a subset of sources
+    (here n_groups=1, so every stale source hashes into its one group)
+    must not count the first job's stale partitions in rows_out/metrics."""
+    wh = Warehouse(str(tmp_path / "wh_scope"))
+    run_rollup_job(spark, wh, seqs, "jobFull", CFG, n_groups=1, with_payloads=False)
+    one_src = seqs.select("source").distinct().orderBy("source").first()["source"]
+    run_rollup_job(
+        spark, wh, seqs.where(F.col("source") == one_src), "jobSub", CFG,
+        n_groups=1, with_payloads=False,
+    )
+    own_rows = (
+        wh.read(spark, "agg.tier_hour").where(F.col("source") == one_src).count()
+    )
+    mt = wh.read(spark, CP.METRICS_TBL).toPandas()
+    got = mt[
+        (mt.job_id == "jobSub") & (mt.stage == "hour") & (mt.name == "rolled_points")
+    ].value.sum()
+    assert int(got) == own_rows
+    ln = wh.read(spark, CP.LINEAGE_TBL).toPandas()
+    sub_out = ln[(ln.job_id == "jobSub") & (ln.stage == "hour")].rows_out.sum()
+    assert int(sub_out) == own_rows
+
+
+def test_seq_markers_garbage_collected(spark, seqs, tmp_path):
+    """Claim markers at/below the committed max are GC'd at seed time
+    (bounded inode growth), the floor file blocks re-claims in the GC'd
+    region, and seq values keep advancing uniquely afterwards."""
+    import os
+
+    wh = Warehouse(str(tmp_path / "wh_gc"))
+    run_rollup_job(spark, wh, seqs, "jobG", CFG, n_groups=3, with_payloads=False)
+    seq_dir = os.path.join(wh.root, "ops", "_seq")
+    n_markers_before = len([f for f in os.listdir(seq_dir) if f.isdigit()])
+    assert n_markers_before > 0
+    committed_max = int(
+        wh.read(spark, CP.CHECKPOINT_TBL).agg(F.max("updated_seq")).first()[0]
+    )
+    # fresh process = empty cache → re-seed triggers GC
+    CP._SEQ_CACHE.pop(wh.root, None)
+    nxt = CP._next_seq(spark, wh)
+    assert nxt == committed_max + 1
+    live = [int(f) for f in os.listdir(seq_dir) if f.isdigit()]
+    assert live == [nxt]  # everything <= committed max was collected
+    assert CP._seq_floor(seq_dir) == committed_max
+    # a stale writer whose counter sits inside the GC'd region must
+    # re-claim ABOVE the floor even though the markers are gone
+    CP._SEQ_CACHE[wh.root] = 0
+    assert CP._next_seq(spark, wh) == nxt + 1

@@ -185,3 +185,139 @@ def test_expire_refuses_uncovered_range(spark, tmp_path):
     with pytest.raises(RetentionError):
         expire_tier(spark, wh2, "jobU", "hour", "2024-01-08 00:00:00")
     assert wh2.read(spark, "agg.tier_hour").count() == n_before
+
+
+def test_archive_merges_late_arrivals(spark, tmp_path):
+    """Late-arriving fine rows landing in an ALREADY-ARCHIVED coarse
+    bucket: the next cycle's archive write must merge with (not clobber)
+    the existing (source, cb) partition — cycle 1's history survives,
+    the late rows join it, and on a same-bucket collision the live
+    tier's (most recent) value wins."""
+    from datetime import timedelta
+
+    from drought_t_spark.operators.value_history import unpack_value_history
+
+    wh = Warehouse(str(tmp_path / "wh_late"))
+    seqs = synth.sequences_df(spark, n_sources=3, n_total=25_000)
+    run_rollup_job(spark, wh, seqs, "jobL", CFG, n_groups=2, with_payloads=False)
+    fine = (
+        wh.read(spark, "agg.tier_hour")
+        .where(~F.col("gap_filled"))
+        .select("source", "bucket_start", F.col("value").cast("double").alias("value"))
+        .localCheckpoint(eager=True)
+    )
+    expire_tier(spark, wh, "jobL", "hour", "2024-01-03 00:00:00",
+                archive_values=True)
+    arch1 = unpack_value_history(
+        wh.read(spark, "agg.value_history_hour")
+    ).localCheckpoint(eager=True)
+
+    # inject two late rows for a coarse bucket cycle 1 already archived:
+    # one COLLIDING with an archived fine bucket (different value — the
+    # late/live row must win) and one at a fine bucket the archive lacks
+    tier = wh.read(spark, "agg.tier_hour")
+    tmpl_src = tier.select("source").orderBy("source").first()["source"]
+    tmpl = (
+        tier.where((F.col("source") == tmpl_src) & ~F.col("gap_filled"))
+        .orderBy("bucket_start").limit(1).localCheckpoint(eager=True)
+    )
+    row0 = (
+        arch1.where(F.col("source") == tmpl_src).orderBy("bucket_start").first()
+    )
+    collide_ts, new_ts = row0["bucket_start"], row0["bucket_start"] + timedelta(minutes=30)
+    late_collide = tmpl.withColumn("bucket_start", F.lit(collide_ts)).withColumn(
+        "value", F.lit(float(row0["value"]) + 100.0)
+    )
+    late_new = tmpl.withColumn("bucket_start", F.lit(new_ts)).withColumn(
+        "value", F.lit(-7.5)
+    )
+    patched = (
+        tier.where(F.col("source") == tmpl_src)
+        .unionByName(late_collide)
+        .unionByName(late_new)
+        .localCheckpoint(eager=True)
+    )
+    wh.write_partitioned(patched, "agg.tier_hour", ["source"])
+
+    res = expire_tier(spark, wh, "jobL", "hour", "2024-01-05 00:00:00",
+                      archive_values=True)
+    assert res["expired"] > 0
+    back = unpack_value_history(wh.read(spark, "agg.value_history_hour"))
+    spark_ts = F.lit(collide_ts)
+    expected = (
+        arch1.where(~((F.col("source") == tmpl_src) & (F.col("bucket_start") == spark_ts)))
+        .unionByName(
+            spark.createDataFrame(
+                [(tmpl_src, collide_ts, float(row0["value"]) + 100.0),
+                 (tmpl_src, new_ts, -7.5)],
+                schema=arch1.schema,
+            )
+        )
+        .unionByName(
+            fine.where(
+                (F.col("bucket_start") >= "2024-01-03")
+                & (F.col("bucket_start") < "2024-01-05")
+            )
+        )
+    )
+    assert back.exceptAll(expected).count() == 0
+    assert expected.exceptAll(back).count() == 0
+
+
+def _concat_tokens(pdf):
+    """{source: flattened token list} in (bucket_start, chunk_id) order."""
+    out = {}
+    for src, grp in pdf.sort_values(["source", "bucket_start", "chunk_id"]).groupby(
+        "source"
+    ):
+        out[src] = [int(t) for arr in grp.tokens for t in arr]
+    return out
+
+
+def test_read_payloads_routed_reconstruction(spark, tmp_path):
+    """The payload twin of read_series: a [lo, hi) token range served
+    from month/day/hour payload tables reconstructs the EXACT token
+    stream of the fine tier — including after the fine payloads expire
+    behind the retention horizon."""
+    from drought_t_spark.codec.udfs import decode_tokens_udf
+    from drought_t_spark.plans.retention import expire_payload_tier, read_payloads
+
+    wh = Warehouse(str(tmp_path / "wh_pay"))
+    # 150k rows: the heaviest source spans ~61 days (through Mar 2
+    # ~04:00), so the range below exercises hour tails, day edges AND a
+    # whole-month (February) slice
+    seqs = synth.sequences_df(spark, n_sources=3, n_total=150_000)
+    run_rollup_job(spark, wh, seqs, "jobP", CFG, n_groups=2, with_payloads=True)
+    lo, hi = "2024-01-02 00:00:00", "2024-03-02 04:00:00"
+
+    routed = read_payloads(spark, wh, lo, hi)
+    tiers = {r.tier for r in routed.select("tier").distinct().collect()}
+    assert tiers == {"hour", "day", "month"}
+    baseline_pdf = (
+        wh.read(spark, "agg.payload_hour")
+        .where((F.col("bucket_start") >= lo) & (F.col("bucket_start") < hi))
+        .select("source", "bucket_start", "chunk_id",
+                decode_tokens_udf("payload").alias("tokens"))
+        .toPandas()
+    )
+    want = _concat_tokens(baseline_pdf)
+    got = _concat_tokens(routed.toPandas())
+    assert set(got) == set(want)
+    for src in want:
+        assert got[src] == want[src], f"token stream mismatch for {src}"
+    # routed read touches far fewer rows than the fine tier would
+    assert routed.count() < len(baseline_pdf)
+
+    # expire the fine payloads behind a day-aligned horizon: the routed
+    # read must keep serving the SAME streams, now from coarse payloads
+    with pytest.raises(RetentionError):
+        expire_payload_tier(spark, wh, "jobP", "hour", "2024-02-01 12:30:00")
+    res = expire_payload_tier(spark, wh, "jobP", "hour", "2024-02-01 00:00:00")
+    assert res["expired"] > 0
+    assert (
+        wh.read(spark, "agg.payload_hour")
+        .where(F.col("bucket_start") < "2024-02-01").count() == 0
+    )
+    got2 = _concat_tokens(read_payloads(spark, wh, lo, hi).toPandas())
+    for src in want:
+        assert got2[src] == want[src], f"post-expiry stream mismatch for {src}"

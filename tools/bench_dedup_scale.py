@@ -17,10 +17,11 @@ recording the stage selectivities the scale posture claims:
   are preserved EXACTLY, cross-replica cosines decorrelate).
 
 Defaults reach 1.0M docs (5000 × 200) and 1.0M vectors (2000 × 500).
-At 1M vectors the sf0.1 default of 16 hyperplanes would leave only
-2^4 buckets per band — the harness scales to 64 planes / 4 bands
-(16-bit band keys), which is exactly the knob a 100 TB deployment
-turns. One JSON line on stdout; stderr carries progress.
+The embedding path runs the operator's own defaults (144 planes / 6
+bands of 24-bit keys — the r5 Arrow-kernel rework; r4's 64/4 = 16-bit
+keys measured 64.7M band candidates for 9.9k true pairs at 1M vectors,
+which is what forced the widening). One JSON line on stdout; stderr
+carries progress.
 
 Usage:
     python tools/bench_dedup_scale.py [doc_mult] [vec_mult]
@@ -164,17 +165,33 @@ def _bench_minhash(spark, doc_mult: int, out: dict) -> None:
 def _bench_embedding(spark, vec_mult: int, out: dict) -> None:
     vecs = tile_embeddings(spark, vec_mult).localCheckpoint(eager=True)
     n_vecs = vecs.count()
+    import inspect
+
+    from drought_t_spark.operators import dedup as _D
+
+    _sig = inspect.signature(_D.embedding_near_dups)
     out["embedding"] = {"n_vecs": n_vecs, "vec_mult": vec_mult,
-                        "n_planes": 64, "n_bands": 4}
+                        "n_planes": _sig.parameters["n_planes"].default,
+                        "n_bands": _sig.parameters["n_bands"].default}
     _log(f"vectors tiled: {n_vecs}")
+    n_planted = vecs.where(F.col("vec_id") >= 5_000_000_000).count()
     t0 = time.time()
     cnt = {}
-    nd = embedding_near_dups(vecs, n_planes=64, n_bands=4, counters=cnt)
+    nd = embedding_near_dups(vecs, counters=cnt).localCheckpoint(eager=True)
     n_nd = nd.count()
+    wall = time.time() - t0
+    # planted-twin recall measured IN the scale run, not assumed from
+    # the sf0.001 pytest gate: every planted pair is (v, v + 5e9)
+    found = nd.where(
+        F.col("id_b") - F.col("id_a") == 5_000_000_000
+    ).count()
     out["embedding"].update(
-        wall_sec=round(time.time() - t0, 2),
+        wall_sec=round(wall, 2),
         pairs=n_nd,
-        vecs_per_sec=round(n_vecs / max(time.time() - t0, 1e-9), 1),
+        vecs_per_sec=round(n_vecs / max(wall, 1e-9), 1),
+        planted=n_planted,
+        planted_found=found,
+        recall_planted=round(found / max(n_planted, 1), 4),
         **cnt,
     )
     _log(f"embedding: {out['embedding']}")
