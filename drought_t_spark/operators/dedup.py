@@ -17,6 +17,7 @@ near-dup clusters) are bounded by `max_bucket` pair capping.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -52,6 +53,89 @@ def minhash_signature(shingle_col: str, n_hashes: int = 32):
     )
 
 
+def minhash_signatures_arrow(
+    base: DataFrame, k: int = 3, n_hashes: int = 32, seed: int = 7
+) -> DataFrame:
+    """(id, text) → (id, sig: array<bigint>) — MinHash signatures as one
+    vectorized Arrow kernel per record batch.
+
+    Differs from the Catalyst HOF path ONLY in the hash family (UTF-8
+    byte k-grams → splitmix64 → n_hashes odd-multiplier permutations of
+    Z_2^64, vs char shingles → seeded xxhash64). Both are uniform
+    MinHash families; the funnel's exact-Jaccard verify stage pins the
+    OUTPUT pairs, so the engines are interchangeable wherever stage-1
+    recall holds (gated by the planted-twin tests + the driver oracle).
+
+    Vectorization: the batch's text is one concatenated uint8 buffer;
+    k-grams are k shifted ORs over it, splitmix64 mixes them in one
+    pass, and each permutation is a multiply-add + minimum.reduceat at
+    per-doc gram boundaries. MinHash is duplicate-insensitive (min of a
+    multiset == min of its set), so no distinct step is needed. Only
+    docs shorter than k bytes fall back to a per-doc loop.
+    """
+    assert 1 <= k <= 8, "gram packs into one uint64"
+    rng = np.random.default_rng(seed)
+    A = (rng.integers(0, 2**62, n_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.integers(0, 2**63, n_hashes, dtype=np.uint64)
+    id_t = dict(zip(base.schema.names, (f.dataType.simpleString() for f in base.schema)))["id"]
+
+    def _mix(x: np.ndarray) -> np.ndarray:
+        # splitmix64 finalizer (public-domain constant mixer)
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            texts = rb.column(1).to_pylist()
+            data = [t.encode("utf-8") if t is not None else b"" for t in texts]
+            lens = np.fromiter((len(b) for b in data), np.int64, n)
+            buf = np.frombuffer(b"".join(data), np.uint8)
+            starts = np.zeros(n, np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            m = len(buf)
+            ng = max(m - k + 1, 0)
+            g = np.zeros(ng, np.uint64)
+            for j in range(k):
+                g |= buf[j : ng + j].astype(np.uint64) << np.uint64(8 * j)
+            h = _mix(g)
+            valid = np.maximum(lens - k + 1, 0)
+            good = valid > 0
+            sig = np.empty((n, n_hashes), np.uint64)
+            if good.any():
+                # compact the boundary-crossing grams away once; every
+                # permutation then reduces over contiguous segments
+                vidx = np.concatenate(
+                    [np.arange(s, s + c) for s, c in zip(starts, valid) if c > 0]
+                )
+                hv = h[vidx]
+                cuts = np.zeros(int(good.sum()), np.int64)
+                np.cumsum(valid[good][:-1], out=cuts[1:])
+                for i in range(n_hashes):
+                    sig[good, i] = np.minimum.reduceat(A[i] * hv + B[i], cuts)
+            for d in np.nonzero(~good)[0]:
+                # Spark-path parity: a doc shorter than k yields ONE
+                # (truncated) shingle — here one short-packed gram
+                gsh = np.uint64(0)
+                for j, bb in enumerate(buf[starts[d] : starts[d] + lens[d]]):
+                    gsh |= np.uint64(bb) << np.uint64(8 * j)
+                sig[d, :] = A * _mix(np.array([gsh], np.uint64))[0] + B
+            offs = pa.array(np.arange(0, (n + 1) * n_hashes, n_hashes, dtype=np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0),
+                 pa.ListArray.from_arrays(offs, pa.array(sig.reshape(-1).view(np.int64)))],
+                ["id", "sig"],
+            )
+
+    return base.select("id", "text").mapInArrow(kernel, f"id {id_t}, sig array<bigint>")
+
+
 def auto_bands(n_hashes: int, threshold: float, target_recall: float = 0.85) -> int:
     """Smallest band count (= tightest selectivity) whose expected
     recall 1-(1-t^r)^b at the threshold still meets target_recall.
@@ -76,6 +160,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 256,
     materialize=None,
     counters: dict | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH: banding tuned to the
     threshold, signature-estimate prefilter, exact Jaccard verify.
@@ -108,17 +193,26 @@ def minhash_lsh_pairs(
         f"array_distinct(transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
         f" i -> substring(text, i, {k})))"
     )
-    # let-bind the shingle set so it is built once per row, not once per
-    # hash seed (the seed transform's lambda body would otherwise inline it)
-    sig_tbl = materialize(
-        base.select(
-            "id",
-            F.expr(
-                f"transform(array({sh_expr}), sh -> transform(sequence(0, {n_hashes - 1}),"
-                f" i -> array_min(transform(sh, s -> xxhash64(s, i)))))[0]"
-            ).alias("sig"),
+    if engine == "arrow":
+        # vectorized NumPy kernel: measured 4-8x the HOF path's docs/s at
+        # 1M docs (BENCH/BASELINE.md r5 A/B); HOF kept as the
+        # dependency-free fallback and A/B control
+        sig_tbl = materialize(
+            minhash_signatures_arrow(base, k=k, n_hashes=n_hashes)
         )
-    )
+    else:
+        # let-bind the shingle set so it is built once per row, not once
+        # per hash seed (the seed transform's lambda body would
+        # otherwise inline it)
+        sig_tbl = materialize(
+            base.select(
+                "id",
+                F.expr(
+                    f"transform(array({sh_expr}), sh -> transform(sequence(0, {n_hashes - 1}),"
+                    f" i -> array_min(transform(sh, s -> xxhash64(s, i)))))[0]"
+                ).alias("sig"),
+            )
+        )
     # Band rows carry ONLY (id, band, bkey) — never shingle arrays.
     # The band shuffle is then 3 scalar columns wide; wide arrays rejoin
     # only for surviving pairs. At 100TB this is the difference between
