@@ -149,7 +149,13 @@ def run_token_job(spark, sf: float, scale_mult: int = 1,
     stats = prow = None
     for _ in range(iters):
         t0 = time.time()
-        hour = R.rollup_hour(t1, salted=True)
+        # plain, not salted: the r5 hot-source A/B (BENCH/skew_r5.json —
+        # ONE source holding 50% of rows, squeezed into 4 hour buckets)
+        # measured plain 4.05 s vs salted 4.91 s: map-side partial
+        # aggregation already combines hot algebraic groups per map
+        # task, so the salt's second shuffle+agg only adds cost. The
+        # salted path stays for holistic/sort-keyed stages.
+        hour = R.rollup_hour(t1, salted=False)
         day = R.cascade(hour, "day")
         month = R.cascade(day, "month")
         stats = (

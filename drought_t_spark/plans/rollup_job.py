@@ -81,7 +81,9 @@ def run_rollup_job(
             )
             continue
         part = t1.where(F.col("_grp") == g).drop("_grp")
-        stats = R.rollup_hour(part, cfg, salted=True)
+        # plain beats salted even on a 50%-hot-source fixture (r5 skew
+        # A/B, BENCH/skew_r5.json): partial agg absorbs algebraic skew
+        stats = R.rollup_hour(part, cfg, salted=False)
         wh.write_partitioned(stats, "agg.tier_hour", ["source"])
         if with_payloads:
             pay = R.pack_payloads(part, "hour", cfg)
