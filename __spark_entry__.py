@@ -852,14 +852,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash-checked against DuckDB twins computed from the same text
     # bytes (payload = UTF-8 text; sizes are SQL-derivable).
     def streaming_ingest_synth(spark, sf_dir):
-        """Incremental continuous-aggregate ingest end-to-end: stream
-        micro-batches into idempotent per-batch partials, serve the
-        exact live view, compact into the committed tier."""
+        """Incremental continuous-aggregate ingest end-to-end, BOTH
+        streamed paths on one input (joined into one entry, the
+        multimodal_pipeline precedent — the driver records 50 rows):
+        stats — micro-batches → idempotent per-batch partials → exact
+        live view → compaction into the committed tier; payload (r5) —
+        micro-batches → seal → watermark-gated pack into the committed
+        payload tier (bit-identical to the batch kernel, pinned by
+        test_streaming_payload). The returned row cross-checks the two
+        paths: `n_tokens` (streamed stats sums) must equal
+        `n_tokens_payload` (live decoded token-view sizes)."""
         import shutil
         import tempfile
 
         from drought_t_spark import synth
         from drought_t_spark.sources.warehouse import Warehouse
+        from drought_t_spark.streaming.payload_stream import (
+            pack_complete_buckets,
+            read_stream_tokens,
+            seal_payload_partials,
+            start_payload_ingest,
+        )
         from drought_t_spark.streaming.rollup_stream import (
             compact_stream_partials,
             read_stream_hour_tier,
@@ -868,7 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         root = tempfile.mkdtemp(prefix="stream_ingest_")
         try:
-            in_dir, ckpt = f"{root}/in", f"{root}/ckpt"
+            in_dir = f"{root}/in"
             wh = Warehouse(f"{root}/wh")
             # 4 input files × files_per_trigger=2 → exactly 2 micro-
             # batches: still exercises multi-batch partials + compaction
@@ -877,11 +890,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             synth.sequences_df(spark, n_sources=3, n_total=3000, slices=4).write.mode(
                 "append"
             ).parquet(in_dir)
-            sq = start_tier_ingest(spark, in_dir, wh, ckpt, files_per_trigger=2)
+            sq = start_tier_ingest(spark, in_dir, wh, f"{root}/ckpt", files_per_trigger=2)
             sq.processAllAvailable()
             sq.stop()
             compact_stream_partials(spark, wh)
-            out = (
+            sq = start_payload_ingest(spark, in_dir, wh, f"{root}/ckpt_pay",
+                                      files_per_trigger=2)
+            sq.processAllAvailable()
+            sq.stop()
+            seal_payload_partials(spark, wh)
+            pack_complete_buckets(spark, wh, watermark_hours=2)
+            stats = (
                 read_stream_hour_tier(spark, wh)
                 .groupBy("source")
                 .agg(
@@ -889,7 +908,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.sum("n_tok_sum").cast("long").alias("n_tokens"),
                 )
             )
-            return out.localCheckpoint(eager=True)
+            pay = (
+                read_stream_tokens(spark, wh)
+                .groupBy("source")
+                .agg(
+                    F.sum("n_tokens").cast("long").alias("n_tokens_payload"),
+                    F.sum((F.col("state") == "packed").cast("long")).alias(
+                        "n_packed_buckets"
+                    ),
+                )
+            )
+            return stats.join(pay, "source").localCheckpoint(eager=True)
         finally:
             shutil.rmtree(root, ignore_errors=True)
     q["streaming_ingest_synth"] = streaming_ingest_synth

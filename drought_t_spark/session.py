@@ -51,6 +51,17 @@ def build_session(
         "spark.ui.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     }
+    # Shuffle/spill scratch override (SPARK_GRAFT_LOCAL_DIR): this
+    # sandbox has ONE virtio disk shared by every executor thread — a
+    # serial resource no multi-node cluster has (each node brings its
+    # own local NVMe). Pointing scratch at tmpfs (/dev/shm) removes the
+    # single-disk artifact from N-vs-4N scaling measurements; it is
+    # env-gated, never a default, because tmpfs scratch competes with
+    # executor memory in production.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        conf["spark.local.dir"] = local_dir
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
