@@ -229,8 +229,20 @@ def pack_payloads(
     tier: str,
     cfg: EngineConfig = DEFAULT,
     chunk_minutes: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """AG8+GZ1 — per-(source, bucket[, chunk]) TSZ1 token payload.
+
+    ``pre_partitioned=True`` skips the repartition: the caller asserts
+    every input partition contains ALL rows of each ``source`` it holds
+    (true for a bucketed-by-source scan via ``sources.bucketed.
+    read_bucketed``, where one task reads one whole bucket) — the
+    engine's biggest shuffle vanishes from the plan and only the
+    within-partition sort + Arrow kernel remain. A violated assertion
+    splits a group across partitions and yields duplicate
+    (source, bucket, chunk) rows, which the bit-identity test in
+    tests/test_bucketed.py would catch — do not set it for inputs with
+    unknown partitioning.
 
     Tokens of member sequences are ordered by seq (== ts order), then
     flattened and encoded. Oversize buckets are split into fixed
@@ -278,9 +290,10 @@ def pack_payloads(
             "chunk_id", "tokens", "n_tok", "seq",
         )
     )
-    parts = base.repartition("source", "bs_epoch", "chunk_id").sortWithinPartitions(
-        "source", "bs_epoch", "chunk_id", "seq"
+    shuffled = base if pre_partitioned else base.repartition(
+        "source", "bs_epoch", "chunk_id"
     )
+    parts = shuffled.sortWithinPartitions("source", "bs_epoch", "chunk_id", "seq")
     wrap = bool(cfg.payload_zlib)
     pay = parts.drop("seq").mapInArrow(
         lambda batches: _encode_arrow_stream(batches, wrap_zlib=wrap),
