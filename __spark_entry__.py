@@ -768,15 +768,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tier_payload_synth"] = tier_payload_synth
 
     def retention_route_synth(spark, sf_dir):
-        """Retention engine end-to-end: roll up ~32 days of synthetic
-        sequences, expire the hour tier behind a cutoff (coverage-
-        checked), then answer a 5-week range via the tier-routed
-        continuous-aggregate read — totals per serving tier."""
+        """Retention engine end-to-end, STATS + TOKEN sides over one
+        warehouse: roll up ~32 days of synthetic sequences into
+        hour/day/month stats tiers AND packed payload tiers, expire
+        both fine tiers behind a coverage-checked cutoff, then answer
+        a 5-week range via BOTH tier-routed reads (`read_series`,
+        r5's `read_payloads` with decode). One row per serving tier;
+        `n_tokens` (stats route) must equal `pay_tokens` ==
+        `pay_decoded` (payload route) — the two independent paths
+        count the same tokens, so the row is self-validating.
+        Determinism: seeded synth + bit-exact packing
+        (test_rollup_tiers); routed payload exactness pinned by
+        test_retention."""
         import shutil
         import tempfile
 
         from drought_t_spark import synth
-        from drought_t_spark.plans.retention import expire_tier, read_series
+        from drought_t_spark.plans.retention import (
+            expire_payload_tier,
+            expire_tier,
+            read_payloads,
+            read_series,
+        )
         from drought_t_spark.sources.warehouse import Warehouse
 
         root = tempfile.mkdtemp(prefix="wh_ret_")
@@ -785,24 +798,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # 2 sources: the heavy one spans ~33 days (needs one whole
             # month for the month-tier route). Tiers written directly —
             # the checkpointed job path is covered by test_retention /
-            # test_resume; this query smokes expiry + routed read.
+            # test_resume; this query smokes expiry + routed reads.
             seqs = synth.sequences_df(spark, n_sources=2, n_total=68_000)
+            seqs_t1 = R.with_event_time(seqs).localCheckpoint(eager=True)
             # checkpoint the cascade inputs: each tier is consumed by
             # both its write and the next cascade stage
-            hour = R.rollup_hour(R.with_event_time(seqs)).localCheckpoint(eager=True)
+            hour = R.rollup_hour(seqs_t1).localCheckpoint(eager=True)
             day = R.cascade(hour, "day").localCheckpoint(eager=True)
             wh.write_partitioned(hour, "agg.tier_hour", ["source"])
             wh.write_partitioned(day, "agg.tier_day", ["source"])
             wh.write_partitioned(R.cascade(day, "month"), "agg.tier_month", ["source"])
+            phour = R.pack_payloads(seqs_t1, "hour").localCheckpoint(eager=True)
+            pday = R.cascade_payloads(phour, "day").localCheckpoint(eager=True)
+            wh.write_partitioned(phour, "agg.payload_hour", ["source"])
+            wh.write_partitioned(pday, "agg.payload_day", ["source"])
+            wh.write_partitioned(
+                R.cascade_payloads(pday, "month"), "agg.payload_month", ["source"]
+            )
             expire_tier(spark, wh, "jobQ", "hour", "2024-01-10 00:00:00")
-            out = (
-                read_series(spark, wh, "2024-01-01 00:00:00", "2024-02-05 00:00:00")
+            expire_payload_tier(spark, wh, "jobQ", "hour", "2024-01-10 00:00:00")
+            lo, hi = "2024-01-01 00:00:00", "2024-02-05 00:00:00"
+            stats = (
+                read_series(spark, wh, lo, hi)
                 .groupBy("tier")
                 .agg(
                     F.count("*").cast("long").alias("n_buckets"),
                     F.sum("n_tok_sum").cast("long").alias("n_tokens"),
                 )
             )
+            pay = (
+                read_payloads(spark, wh, lo, hi)
+                .groupBy("tier")
+                .agg(
+                    F.count("*").cast("long").alias("pay_chunks"),
+                    F.sum("n_tokens").cast("long").alias("pay_tokens"),
+                    F.sum(F.size("tokens")).cast("long").alias("pay_decoded"),
+                )
+            )
+            out = stats.join(pay, "tier", "full_outer")
             # materialize before the warehouse directory disappears
             return out.localCheckpoint(eager=True)
         finally:
