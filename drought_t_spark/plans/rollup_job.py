@@ -40,9 +40,19 @@ def run_rollup_job(
     fail_after_groups: int | None = None,
     fail_before_cascade: bool = False,
     with_payloads: bool = True,
+    pre_partitioned: bool = False,
 ) -> None:
     """Hour-tier rollup (stats + payloads) with checkpoint/resume, then
     cascaded day/month tiers (single idempotent stage each).
+
+    ``pre_partitioned=True`` is the bucketed-T0 posture (sources/
+    bucketed.py): set it ONLY when ``seqs`` is a `read_bucketed` scan
+    (one task per source bucket). The group filter below preserves that
+    containment, so the payload pack skips its repartition — the job's
+    biggest shuffle — and the hour rollup goes exchange-free on its own
+    (HashPartitioning(source) satisfies the grouping's clustering
+    requirement). Semantically identical either way; test_bucketed.py
+    pins job-level bit-parity.
 
     The checkpoint unit is a HASH BUCKET of sources
     (pmod(xxhash64(source), n_groups)), not a source list: the driver
@@ -86,7 +96,7 @@ def run_rollup_job(
         stats = R.rollup_hour(part, cfg, salted=False)
         wh.write_partitioned(stats, "agg.tier_hour", ["source"])
         if with_payloads:
-            pay = R.pack_payloads(part, "hour", cfg)
+            pay = R.pack_payloads(part, "hour", cfg, pre_partitioned=pre_partitioned)
             wh.write_partitioned(pay, "agg.payload_hour", ["source"])
         # lineage counts + snapshot token come from the WRITTEN table,
         # never from `stats` — which is the full salted-aggregation DAG

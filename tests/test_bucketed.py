@@ -9,11 +9,13 @@ from pyspark.sql import functions as F
 
 from drought_t_spark import synth
 from drought_t_spark.operators import rollup as R
+from drought_t_spark.plans.rollup_job import run_rollup_job
 from drought_t_spark.sources.bucketed import (
     read_bucketed,
     register_bucketed_sequences,
     write_bucketed_sequences,
 )
+from drought_t_spark.sources.warehouse import Warehouse
 
 _PAY_COLS = [
     "source", "bucket_start", "chunk_id", "payload",
@@ -98,3 +100,31 @@ def test_rollup_over_bucketed_scan_is_exchange_free(spark, bucketed):
     cols = ["source", "bucket_start", "n_seq", "n_tok_sum", "n_tok_min", "n_tok_max"]
     a, b = tier_b.select(*cols), tier_plain.select(*cols)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_rollup_job_over_bucketed_t0_bit_identical(spark, bucketed, tmp_path):
+    """End-to-end: the resumable rollup job run over a bucketed T0 scan
+    with ``pre_partitioned=True`` (its exchange-free posture) must
+    produce every tier table — stats AND payloads, hour through month —
+    bit-identical to the same job over the plain DataFrame. The group
+    filter inside the job must not break bucket containment."""
+    path, df = bucketed
+    spark.sql("DROP TABLE IF EXISTS t0b_test")
+    register_bucketed_sequences(spark, path, n_buckets=4, table="t0b_test")
+
+    wh_p = Warehouse(str(tmp_path / "wh_plain"))
+    run_rollup_job(spark, wh_p, df, "jobB", n_groups=3)
+    wh_b = Warehouse(str(tmp_path / "wh_bucketed"))
+    run_rollup_job(
+        spark, wh_b, read_bucketed(spark, "t0b_test"), "jobB",
+        n_groups=3, pre_partitioned=True,
+    )
+
+    stat_cols = ["source", "bucket_start", "n_seq", "n_tok_sum", "n_tok_min", "n_tok_max"]
+    for tier in ("hour", "day", "month"):
+        a = wh_p.read(spark, f"agg.tier_{tier}").select(*stat_cols)
+        b = wh_b.read(spark, f"agg.tier_{tier}").select(*stat_cols)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, tier
+        pa = wh_p.read(spark, f"agg.payload_{tier}").select(*_PAY_COLS)
+        pb = wh_b.read(spark, f"agg.payload_{tier}").select(*_PAY_COLS)
+        assert pa.exceptAll(pb).count() == 0 and pb.exceptAll(pa).count() == 0, tier
