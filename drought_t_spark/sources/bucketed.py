@@ -20,6 +20,15 @@ The session catalog is in-memory, so a fresh process re-attaches to the
 files with ``register_bucketed_sequences`` (CREATE TABLE ... CLUSTERED
 BY ... LOCATION) — the same DDL a shared metastore or Iceberg catalog
 would hold durably.
+
+Sizing N: exchange-free stages get at most one task per bucket, so N
+bounds their parallelism — pick N ≥ several× the cluster's core count
+(e.g. 2-8k buckets for a 1000-executor cluster) and small enough that
+a bucket's hot-source share still fits one task comfortably; with
+~10^5 sources hashed into thousands of buckets, per-bucket load
+concentration is negligible (balls-into-bins), and the pack kernel
+streams per-bucket-chunk so even a hot bucket pipelines rather than
+spilling. The 64 used in tests/bench matches the 32-core sandbox.
 """
 
 from __future__ import annotations

@@ -59,6 +59,20 @@ def source_counts(seed: int = 42, n_sources: int = 4, n_total: int = 8000) -> np
     return counts
 
 
+def uniform_counts(n_sources: int, n_total: int) -> np.ndarray:
+    """Equal sequence counts per source (sum == n_total exactly).
+
+    The Zipf default models corpus skew for the salting/chunking
+    fixtures; a per-source-clustered (bucketed) layout is instead
+    straggler-bound by the max source share, so its scaling evidence
+    needs a fixture where no single source dominates a core's worth of
+    work — the many-source regime of the real 10^12-row table."""
+    base = n_total // n_sources
+    counts = np.full(n_sources, base, dtype=np.int64)
+    counts[: n_total - base * n_sources] += 1
+    return counts
+
+
 def _gap_mask(seed: int, src_idx: np.ndarray, seq: np.ndarray) -> np.ndarray:
     """True where the row is DELETED (falls in a seeded gap window).
 
@@ -111,19 +125,22 @@ def rows_for_range(
     )
 
 
-def sequences_pdf(seed: int = 42, n_sources: int = 4, n_total: int = 8000) -> pd.DataFrame:
+def sequences_pdf(seed: int = 42, n_sources: int = 4, n_total: int = 8000,
+                  counts: np.ndarray | None = None) -> pd.DataFrame:
     """Whole F1 table locally (small scales / oracle)."""
-    counts = source_counts(seed, n_sources, n_total)
+    if counts is None:
+        counts = source_counts(seed, n_sources, n_total)
     return rows_for_range(0, int(counts.sum()), counts, seed)
 
 
 def sequences_df(spark, seed: int = 42, n_sources: int = 4, n_total: int = 8000,
-                 slices: int | None = None):
+                 slices: int | None = None, counts: np.ndarray | None = None):
     """Distributed F1 generator: spark.range → mapInPandas over the same
     NumPy core. Deterministic for any partitioning; no driver-side data."""
     from drought_t_spark.schemas import SEQUENCES
 
-    counts = source_counts(seed, n_sources, n_total)
+    if counts is None:
+        counts = source_counts(seed, n_sources, n_total)
     n = int(counts.sum())
     counts_l = counts.tolist()  # small; closure-captured (broadcast-size)
 

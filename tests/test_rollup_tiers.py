@@ -35,6 +35,29 @@ def test_distributed_generator_matches_local(spark, seqs):
     np.testing.assert_array_equal(got.n_tok.to_numpy(), want.n_tok.to_numpy())
 
 
+def test_uniform_counts_fixture(spark):
+    """The bucketed-layout scaling fixture (synth.uniform_counts): exact
+    total, balanced sources, and the distributed generator honors the
+    counts override deterministically."""
+    counts = synth.uniform_counts(7, 500)
+    assert int(counts.sum()) == 500
+    assert int(counts.max()) - int(counts.min()) <= 1
+
+    df = synth.sequences_df(spark, n_sources=7, n_total=500, counts=counts)
+    got = df.select("doc_id", "n_tok", "source").orderBy("doc_id").toPandas()
+    want = synth.sequences_pdf(n_sources=7, n_total=500, counts=counts).sort_values("doc_id")
+    assert list(got.doc_id) == list(want.doc_id)
+    np.testing.assert_array_equal(got.n_tok.to_numpy(), want.n_tok.to_numpy())
+
+    # Balance survives gap deletion only with many hour buckets per
+    # source (gaps drop WHOLE 60-seq buckets at 5%): 3000 seqs/source
+    # = 50 buckets, so a source loses ~2-3 buckets, not most of one.
+    big = synth.sequences_pdf(
+        n_sources=7, n_total=21000, counts=synth.uniform_counts(7, 21000))
+    per_src = big.groupby("source").size()
+    assert per_src.max() <= 1.25 * per_src.min()
+
+
 def test_salted_equals_plain(spark, seqs):
     plain = R.rollup_hour(seqs, CFG, salted=False)
     salted = R.rollup_hour(seqs, CFG, salted=True)
