@@ -98,6 +98,54 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+_DISK_PROBE: dict = {}
+
+
+def _disk_guard() -> dict:
+    """Measure scratch-disk write throughput once and, when the disk is
+    measurably broken, fail Spark shuffle scratch over to tmpfs.
+
+    This sandbox's single virtio disk intermittently collapses to
+    single-digit MB/s for long stretches (the r5 close-out session
+    measured a 512 MB write+fsync at 4.9 MB/s on an otherwise idle box
+    — two orders of magnitude below the same probe in earlier rounds,
+    and enough to turn the 1.4 s payload row into 15-20 s across every
+    window of that evening). At that rate the bench measures a dying
+    device, not the engine. The guard writes 24 MB + fsync to the
+    default scratch filesystem; below 50 MB/s it points
+    SPARK_GRAFT_LOCAL_DIR (honored by session.build_session and
+    inherited by the --scaling* child processes) at /dev/shm so shuffle
+    scratch leaves the broken device. The probe result is embedded in
+    the output JSON either way, so every record is self-describing:
+    a healthy run shows disk_mbps in the hundreds and scratch='disk'."""
+    import tempfile
+
+    if _DISK_PROBE:
+        return _DISK_PROBE
+    blob = os.urandom(1 << 20) * 24
+    fd, p = tempfile.mkstemp(prefix="bench_diskprobe_")
+    t0 = time.time()
+    try:
+        os.write(fd, blob)
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+        os.unlink(p)
+    mbps = round(24 / max(time.time() - t0, 1e-9), 1)
+    _DISK_PROBE.update({"disk_mbps": mbps, "scratch": "disk"})
+    if os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
+        _DISK_PROBE["scratch"] = "env"
+        _log(f"disk probe: {mbps} MB/s (scratch pinned by env)")
+    elif mbps < 50:
+        os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/bench-scratch"
+        _DISK_PROBE["scratch"] = "shm-failover"
+        _log(f"disk probe: {mbps} MB/s < 50 — shuffle scratch failed over"
+             f" to /dev/shm for this bench run")
+    else:
+        _log(f"disk probe: {mbps} MB/s (healthy, scratch on disk)")
+    return _DISK_PROBE
+
+
 # ------------------------------------------------- north-rule job ----
 
 
@@ -388,6 +436,7 @@ def run_bench() -> dict:
         "tokens_per_sec_encoded": tok["tokens_per_sec_encoded"],
         "codec_compression_x": tok["compression_x"],
         **compression_probe(),
+        **_disk_guard(),
     }
 
 
@@ -473,6 +522,7 @@ def run_scaling() -> None:
         "scale_mult": mult, "windows": windows,
         "efficiency_2_to_8": {k: eff(2, 8, f"sec_{k}") for k in ("stats", "payload", "codec")},
         "efficiency_8_to_32": {k: eff(8, 32, f"sec_{k}") for k in ("stats", "payload", "codec")},
+        **_disk_guard(),
     }))
 
 
@@ -636,6 +686,7 @@ def run_scaling_bucketed() -> None:
         "scale_mult": mult, "windows": windows, "layout": "bucketed-by-source",
         "efficiency_2_to_8": {k: eff(2, 8, f"sec_{k}") for k in ("stats", "payload")},
         "efficiency_8_to_32": {k: eff(8, 32, f"sec_{k}") for k in ("stats", "payload")},
+        **_disk_guard(),
     }))
 
 
@@ -745,6 +796,10 @@ def run_scaling_gen(mult: int, t0_dir: str) -> None:
 
 
 if __name__ == "__main__":
+    # run the guard before ANY mode: child processes inherit the
+    # failover via the env var, so one parent probe covers a whole
+    # --scaling run's fleet
+    _disk_guard()
     if len(sys.argv) > 3 and sys.argv[1] == "--scaling-child":
         run_scaling_child(int(sys.argv[2]), sys.argv[3])
     elif len(sys.argv) > 3 and sys.argv[1] == "--scaling-bucketed-gen":
