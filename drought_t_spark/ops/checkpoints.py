@@ -29,14 +29,20 @@ catalog snapshot ids (docs/ICEBERG.md).
 
 Marker lifecycle: claim markers are garbage-collected at seed time so
 long-lived warehouses don't accumulate one inode per commit forever.
-GC publishes a floor (`ops/_seq/_floor`, atomic tmp+rename) equal to
-the table's committed max BEFORE deleting markers at or below it, and
-every successful O_EXCL claim re-checks the floor afterwards — a stale
+GC publishes a floor BEFORE deleting markers at or below it, and every
+successful O_EXCL claim re-checks the floor afterwards — a stale
 process whose counter lands inside a GC'd region sees floor >= n and
-re-claims above it, so uniqueness survives concurrent GC. O_EXCL and
-rename atomicity are POSIX-local-filesystem guarantees: the marker
-scheme is scoped to the local-parquet shim; on object stores / real
-clusters the Iceberg catalog's snapshot CAS replaces it outright.
+re-claims above it, so uniqueness survives concurrent GC. The floor is
+MONOTONE by construction: it is the max over immutable O_EXCL-created
+marker files (`ops/_seq/_floor.<n>`), and a lower `_floor.<k>` is only
+deleted while a strictly higher one exists — a mutable single file
+(tmp+rename, the first implementation) could REGRESS when a process
+seeding from a stale table max published its lower floor after a
+concurrent GC published a higher one, letting a later claim reuse an
+already-committed seq from the cleared region. O_EXCL atomicity is a
+POSIX-local-filesystem guarantee: the marker scheme is scoped to the
+local-parquet shim; on object stores / real clusters the Iceberg
+catalog's snapshot CAS replaces it outright.
 """
 
 from __future__ import annotations
@@ -56,31 +62,53 @@ _SEQ_CACHE: dict[str, int] = {}
 
 
 def _seq_floor(seq_dir: str) -> int:
-    """Highest GC'd seq value (no marker at or below it may be claimed)."""
+    """Highest GC'd seq value (no marker at or below it may be claimed):
+    the max over the immutable `_floor.<n>` marker files. Monotone —
+    see the module docstring's marker-lifecycle paragraph."""
     import os
 
+    best = 0
     try:
-        with open(os.path.join(seq_dir, "_floor")) as f:
-            return int(f.read().strip() or 0)
-    except (FileNotFoundError, ValueError):
+        names = os.listdir(seq_dir)
+    except FileNotFoundError:
         return 0
+    for name in names:
+        if name.startswith("_floor."):
+            try:
+                best = max(best, int(name[7:]))
+            except ValueError:
+                pass  # stray tmp file from the retired mutable scheme
+    return best
 
 
 def _gc_markers(seq_dir: str, committed_max: int) -> None:
-    """Delete claim markers at/below the committed max — AFTER atomically
-    publishing that value as the floor, so a stale writer whose counter
-    lands in the cleared region re-claims above it (see module doc)."""
+    """Delete claim markers at/below the committed max — AFTER publishing
+    that value as a floor marker, so a stale writer whose counter lands
+    in the cleared region re-claims above it (see module doc).
+
+    The floor is published as an immutable O_EXCL file `_floor.<n>`,
+    never a rewritten single file: max-over-files cannot regress when
+    two GCs race with different committed_max views (the loser's lower
+    marker coexists below the winner's), whereas rewrite-in-place let
+    the stale GC LOWER the floor and re-expose burnt seq values. Lower
+    floor markers are deleted only here, while this process's >= floor
+    marker exists, which preserves the monotone max."""
     import os
 
     floor = max(committed_max, _seq_floor(seq_dir))
     if floor <= 0:
         return
-    tmp = os.path.join(seq_dir, f"_floor.tmp.{os.getpid()}")
-    with open(tmp, "w") as f:
-        f.write(str(floor))
-    os.replace(tmp, os.path.join(seq_dir, "_floor"))  # atomic publish first
+    try:
+        os.close(os.open(os.path.join(seq_dir, f"_floor.{floor}"),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    except FileExistsError:
+        pass  # same floor already published — fine, it's immutable
     for name in os.listdir(seq_dir):
-        if name.isdigit() and int(name) <= floor:
+        doomed = (name.isdigit() and int(name) <= floor) or (
+            name.startswith("_floor.")
+            and name[7:].isdigit() and int(name[7:]) < floor
+        )
+        if doomed:
             try:
                 os.unlink(os.path.join(seq_dir, name))
             except FileNotFoundError:

@@ -233,3 +233,35 @@ def test_seq_markers_garbage_collected(spark, seqs, tmp_path):
     # re-claim ABOVE the floor even though the markers are gone
     CP._SEQ_CACHE[wh.root] = 0
     assert CP._next_seq(spark, wh) == nxt + 1
+
+
+def test_seq_floor_monotone_under_stale_gc(tmp_path):
+    """Two GCs racing with different committed-max views must never
+    LOWER the floor: the retired rewrite-in-place floor file regressed
+    here (a GC seeded from a stale table max published its lower value
+    after a concurrent GC published a higher one, re-exposing burnt seq
+    values 11..20 for duplicate claims). Immutable max-over-marker
+    files make the regression structurally impossible."""
+    import os
+
+    seq_dir = str(tmp_path / "_seq")
+    os.makedirs(seq_dir)
+    CP._gc_markers(seq_dir, 10)
+    CP._gc_markers(seq_dir, 20)
+    assert CP._seq_floor(seq_dir) == 20
+    # only the winning marker survives (lower ones are collected)
+    assert [f for f in os.listdir(seq_dir) if f.startswith("_floor.")] == [
+        "_floor.20"
+    ]
+    # the stale GC's publish step lands AFTER the winner: under the old
+    # scheme this rewrote the floor down to 10; now it only adds a lower
+    # marker that the max ignores
+    os.close(os.open(os.path.join(seq_dir, "_floor.10"),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    assert CP._seq_floor(seq_dir) == 20
+    # and the next GC sweep collects the straggler
+    CP._gc_markers(seq_dir, 0)
+    assert CP._seq_floor(seq_dir) == 20
+    assert [f for f in os.listdir(seq_dir) if f.startswith("_floor.")] == [
+        "_floor.20"
+    ]
