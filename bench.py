@@ -139,8 +139,16 @@ def _disk_guard() -> dict:
     elif mbps < 50:
         os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/bench-scratch"
         _DISK_PROBE["scratch"] = "shm-failover"
-        _log(f"disk probe: {mbps} MB/s < 50 — shuffle scratch failed over"
-             f" to /dev/shm for this bench run")
+        # the synthetic input/warehouse dirs (tempfile.mkdtemp sites
+        # below) must leave the dying device too, or every parquet
+        # write/read in the bench still prices the broken disk; TMPDIR
+        # is exported so the --scaling* child processes inherit it
+        os.makedirs("/dev/shm/bench-tmp", exist_ok=True)
+        os.environ["TMPDIR"] = "/dev/shm/bench-tmp"
+        tempfile.tempdir = "/dev/shm/bench-tmp"
+        _DISK_PROBE["tmpdir"] = "shm"
+        _log(f"disk probe: {mbps} MB/s < 50 — shuffle scratch AND bench"
+             f" temp data failed over to /dev/shm for this run")
     else:
         _log(f"disk probe: {mbps} MB/s (healthy, scratch on disk)")
     return _DISK_PROBE

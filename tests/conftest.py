@@ -1,6 +1,49 @@
+import os
+import tempfile
+import time
+
 import pytest
 
 from drought_t_spark.session import build_session
+
+
+def _disk_guard() -> None:
+    """Mirror bench.py's scratch-disk failover for the test suite.
+
+    This sandbox's single virtio disk intermittently collapses to
+    single-digit MB/s (bench.py:_disk_guard documents the measured
+    windows). The suite writes dozens of small parquet warehouses into
+    tmp_path plus Spark shuffle scratch; on a collapsed disk a 400 s
+    suite becomes hours and the driver's round-end verification times
+    out on the environment, not the code. Probe once at conftest
+    import (24 MB write + fsync, same threshold as the bench); below
+    50 MB/s, point BOTH the pytest temp root (TMPDIR — tmp_path lands
+    under it) and Spark shuffle scratch (SPARK_GRAFT_LOCAL_DIR,
+    honored by session.build_session) at /dev/shm. Env-gated override
+    wins: an explicit SPARK_GRAFT_LOCAL_DIR is never touched, and a
+    healthy disk changes nothing."""
+    blob = os.urandom(1 << 20) * 24
+    fd, p = tempfile.mkstemp(prefix="pytest_diskprobe_")
+    t0 = time.time()
+    try:
+        os.write(fd, blob)
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+        os.unlink(p)
+    mbps = 24 / max(time.time() - t0, 1e-9)
+    if mbps >= 50:
+        return
+    if not os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
+        os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/pytest-scratch"
+    os.makedirs("/dev/shm/pytest-tmp", exist_ok=True)
+    os.environ["TMPDIR"] = "/dev/shm/pytest-tmp"
+    tempfile.tempdir = "/dev/shm/pytest-tmp"
+    print(f"[conftest] disk probe {mbps:.1f} MB/s < 50 — test temp data "
+          f"and shuffle scratch failed over to /dev/shm", flush=True)
+
+
+_disk_guard()
 
 
 @pytest.fixture(scope="session")

@@ -33,12 +33,24 @@ def test_guard_healthy_disk_keeps_default_scratch(monkeypatch):
 
 
 def test_guard_broken_disk_fails_over_to_shm(monkeypatch):
+    import tempfile
+
     bench = _fresh_bench(monkeypatch)
+    # register the pre-test values with monkeypatch so the guard's
+    # direct assignments are rolled back at teardown (the guard is
+    # designed to mutate process-global temp state; tests must not
+    # leak that to the rest of the suite)
+    monkeypatch.setenv("TMPDIR", os.environ.get("TMPDIR", ""))
+    monkeypatch.setattr(tempfile, "tempdir", tempfile.tempdir)
     monkeypatch.setattr(bench.time, "time", _ticks([0.0, 10.0]).__next__)
     out = bench._disk_guard()
     assert out["scratch"] == "shm-failover"
     assert out["disk_mbps"] < 50
     assert os.environ["SPARK_GRAFT_LOCAL_DIR"] == "/dev/shm/bench-scratch"
+    # the synthetic-input temp dirs leave the broken device too
+    assert out["tmpdir"] == "shm"
+    assert os.environ["TMPDIR"] == "/dev/shm/bench-tmp"
+    assert tempfile.gettempdir() == "/dev/shm/bench-tmp"
     # the session factory honors the env var in its conf dict
     from drought_t_spark import session as S
 
