@@ -885,16 +885,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash-checked against DuckDB twins computed from the same text
     # bytes (payload = UTF-8 text; sizes are SQL-derivable).
     def streaming_ingest_synth(spark, sf_dir):
-        """Incremental continuous-aggregate ingest end-to-end, BOTH
+        """Incremental continuous-aggregate ingest end-to-end, ALL THREE
         streamed paths on one input (joined into one entry, the
         multimodal_pipeline precedent — the driver records 50 rows):
         stats — micro-batches → idempotent per-batch partials → exact
         live view → compaction into the committed tier; payload (r5) —
         micro-batches → seal → watermark-gated pack into the committed
         payload tier (bit-identical to the batch kernel, pinned by
-        test_streaming_payload). The returned row cross-checks the two
-        paths: `n_tokens` (streamed stats sums) must equal
-        `n_tokens_payload` (live decoded token-view sizes)."""
+        test_streaming_payload); stateful runs (r5, §2.11's last row) —
+        the committed hour series re-streamed in two micro-batches
+        through applyInPandasWithState run extraction, whose emitted
+        events must be bit-equal to the batch operator over the same
+        series minus each source's open trailing run (pinned by
+        test_streaming_runs; cross-checked here per source). The
+        returned row cross-checks the paths: `n_tokens` (streamed stats
+        sums) must equal `n_tokens_payload` (live decoded token-view
+        sizes), and `runs_match` is 1 iff streamed == batch-terminated
+        events for that source."""
         import shutil
         import tempfile
 
@@ -951,7 +958,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     ),
                 )
             )
-            return stats.join(pay, "source").localCheckpoint(eager=True)
+            # third streamed path: stateful run extraction over the
+            # committed hour series (x_ma = mean tokens/bucket, x0 =
+            # per-source mean), driven in two in-order micro-batches
+            from drought_t_spark.operators import runs as RUNS
+            from drought_t_spark.streaming.runs_stream import start_runs_stream
+
+            ser = read_stream_hour_tier(spark, wh).select(
+                "source",
+                "bucket_start",
+                (F.col("n_tok_sum").cast("double") / F.col("n_seq")).alias("x_ma"),
+            )
+            x0 = ser.groupBy("source").agg(F.avg("x_ma").alias("x0"))
+            ser = (
+                ser.join(F.broadcast(x0), "source")
+                .select("source", "bucket_start", "x_ma", "x0")
+                .localCheckpoint(eager=True)  # reused 3× below
+            )
+            bnd = ser.agg(
+                F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+            ).collect()[0]
+            mid = bnd["lo"] + (bnd["hi"] - bnd["lo"]) / 2
+            ser_dir = f"{root}/run_series"
+            ser.where(F.col("bucket_start") < F.lit(mid)).coalesce(1).write.mode(
+                "append"
+            ).parquet(ser_dir)
+            rq = start_runs_stream(spark, ser_dir, name="q_ingest_runs")
+            try:
+                rq.processAllAvailable()
+                ser.where(F.col("bucket_start") >= F.lit(mid)).coalesce(
+                    1
+                ).write.mode("append").parquet(ser_dir)
+                rq.processAllAvailable()
+            finally:
+                rq.stop()
+            cols = ["source", "run_id", "below", "onset", "termination",
+                    "duration", "severity", "peak", "excess"]
+            streamed = spark.sql("SELECT * FROM q_ingest_runs").select(cols)
+            ev = RUNS.extract_events(RUNS.segment_runs(RUNS.below_mask(ser)))
+            rid_max = ev.groupBy("source").agg(F.max("run_id").alias("rid_max"))
+            term = (
+                ev.join(F.broadcast(rid_max), "source")
+                .where(F.col("run_id") < F.col("rid_max"))  # drop open trailing run
+                .select(cols)
+            )
+            sym = streamed.exceptAll(term).unionByName(term.exceptAll(streamed))
+            runs = (
+                term.groupBy("source")
+                .agg(F.count("*").cast("long").alias("n_runs_closed"))
+                .join(
+                    sym.groupBy("source").agg(F.count("*").alias("n_mm")),
+                    "source",
+                    "left",
+                )
+                .withColumn(
+                    "runs_match",
+                    (F.coalesce(F.col("n_mm"), F.lit(0)) == 0).cast("int"),
+                )
+                .drop("n_mm")
+            )
+            out = (
+                stats.join(pay, "source")
+                .join(runs, "source", "left")
+                .withColumn(
+                    "n_runs_closed", F.coalesce(F.col("n_runs_closed"), F.lit(0))
+                )
+                .withColumn("runs_match", F.coalesce(F.col("runs_match"), F.lit(1)))
+            )
+            return out.localCheckpoint(eager=True)
         finally:
             shutil.rmtree(root, ignore_errors=True)
     q["streaming_ingest_synth"] = streaming_ingest_synth
