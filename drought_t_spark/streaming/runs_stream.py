@@ -115,10 +115,16 @@ def _fold_runs(
         below, run_id, onset_us, term_us = 0, 0, 0, 0
         duration, severity, peak, excess = 0, 0.0, 0.0, 0.0
 
+    # Materialize the group's micro-batch chunks before sorting: Spark
+    # chunks a large group into multiple Arrow batches with NO ordering
+    # guarantee between chunks, so sorting each chunk against the
+    # high-water mark independently would mis-drop in-order rows that
+    # arrive in a later chunk. Memory is bounded by one group's rows in
+    # one micro-batch (size the trigger accordingly), the same bound the
+    # state fold itself implies.
+    chunks = [pdf for pdf in pdf_iter if not pdf.empty]
     rows: list[tuple] = []
-    for pdf in pdf_iter:
-        if pdf.empty:
-            continue
+    for pdf in ([pd.concat(chunks, ignore_index=True)] if chunks else []):
         pdf = pdf.sort_values("bucket_start", kind="mergesort")
         ts = pdf["bucket_start"].to_numpy().astype(_US).astype(np.int64)
         fresh = ts > last_us  # late/replay rows: drop (watermark contract)
@@ -206,18 +212,24 @@ def read_series_stream(spark: SparkSession, path: str,
 
 def start_runs_stream(spark: SparkSession, path: str,
                       name: str = "stream_run_events",
-                      files_per_trigger: int = 1):
+                      files_per_trigger: int = 1,
+                      checkpoint: str | None = None):
     """Memory-sink runner for tests/driver smoke: returns the running
     StreamingQuery; caller drives micro-batches (processAllAvailable).
-    (The memory sink does not support checkpoint recovery — restart
-    coverage uses start_runs_stream_to_parquet.)"""
+    (The memory sink does not support checkpoint RECOVERY — restart
+    coverage uses start_runs_stream_to_parquet — but `checkpoint` still
+    controls where the state store writes its per-batch deltas, which
+    matters: the default lands in java.io.tmpdir, and on a slow scratch
+    disk the state-store fsyncs dominate the micro-batch wall.)"""
     events = streaming_run_events(read_series_stream(spark, path, files_per_trigger))
-    return (
+    w = (
         events.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
-        .start()
     )
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
 
 
 def start_runs_stream_to_parquet(spark: SparkSession, path: str, out: str,

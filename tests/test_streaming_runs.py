@@ -173,6 +173,30 @@ def test_restart_from_checkpoint_no_dupes_no_loss(spark, tmp_path):
     _assert_parity(both, _batch_terminated(spark, pdf))
 
 
+def test_group_spanning_multiple_arrow_chunks(spark, tmp_path):
+    """A group whose micro-batch rows span several Arrow record batches
+    must still fold correctly: chunks arrive with no ordering guarantee,
+    so the operator concatenates before its single sort — without that,
+    the high-water mark would mis-drop in-order rows from later chunks."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "16")  # 96-row group → ≥6 chunks per micro-batch
+    try:
+        pdf = _series_pdf(sources=2, hours=96)
+        path = str(tmp_path / "chunked_series")
+        _write_slices(pdf, path, spark,
+                      [pd.Timestamp("2024-01-01") + pd.Timedelta(hours=96)])
+        q = start_runs_stream(spark, path, name="q_runs_chunks")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        _assert_parity(_collect(spark, "q_runs_chunks"),
+                       _batch_terminated(spark, pdf))
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_late_rows_dropped(spark, tmp_path):
     """A row at or behind the per-source high-water mark is dropped —
     emitted runs equal batch over the in-order rows only."""
