@@ -173,6 +173,38 @@ def test_restart_from_checkpoint_no_dupes_no_loss(spark, tmp_path):
     _assert_parity(both, _batch_terminated(spark, pdf))
 
 
+def test_variable_threshold_parity(spark, tmp_path):
+    """x0 varies per cycle position (hour-of-day), the drought method's
+    real threshold shape (TH1): the stream consumes x0 as a per-row
+    column, so variable thresholds must hold by construction — pinned
+    here against the batch operator on the same joined series."""
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    for s in range(2):
+        for h in range(120):
+            x = math.sin(2 * math.pi * h / (11 + 5 * s))
+            x0 = 0.3 * math.cos(2 * math.pi * (h % 24) / 24.0)  # hour-of-day
+            rows.append((f"src_{s:04d}", t0 + pd.Timedelta(hours=h), x, x0))
+    pdf = pd.DataFrame(rows, columns=["source", "bucket_start", "x_ma", "x0"])
+    path = str(tmp_path / "var_thresh")
+    cuts = [t0 + pd.Timedelta(hours=h) for h in (40, 80, 120)]
+    _write_slices(pdf, path, spark, cuts[:1])
+    q = start_runs_stream(spark, path, name="q_runs_varx0")
+    try:
+        q.processAllAvailable()
+        lo = cuts[0]
+        for hi in cuts[1:]:  # one drop per micro-batch: arrival stays in order
+            cut = pdf[(pdf["bucket_start"] >= lo) & (pdf["bucket_start"] < hi)]
+            spark.createDataFrame(cut, RUN_STREAM_INPUT).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+            q.processAllAvailable()
+            lo = hi
+    finally:
+        q.stop()
+    _assert_parity(_collect(spark, "q_runs_varx0"), _batch_terminated(spark, pdf))
+
+
 def test_group_spanning_multiple_arrow_chunks(spark, tmp_path):
     """A group whose micro-batch rows span several Arrow record batches
     must still fold correctly: chunks arrive with no ordering guarantee,
