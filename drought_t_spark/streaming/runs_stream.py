@@ -34,6 +34,13 @@ Semantics and scale notes:
   Python.
 - Output mode is append (rows are final when emitted); the trailing
   open run lives only in state until its terminating bucket arrives.
+- Sizing: the state-partition count (spark.sql.shuffle.partitions at
+  first start) is FROZEN into the checkpoint. Size it to steady-state
+  parallelism, not burst cores: each partition pays worker-spawn +
+  state-store-init on the first micro-batch (measured: the dominant
+  cost of short-lived runs — BENCH/BASELINE.md §2b-ii), while warm
+  micro-batches are partition-insensitive (~200k buckets/s at 32
+  cores on the probe fixture).
 """
 
 from __future__ import annotations
