@@ -50,6 +50,7 @@ from typing import Iterator, Tuple
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
@@ -245,11 +246,23 @@ def start_runs_stream_to_parquet(spark: SparkSession, path: str, out: str,
     """Checkpointed runner: appends each micro-batch's terminated-run
     rows to a parquet dir via foreachBatch, resumable from `checkpoint`
     (source offsets AND the per-source run state restore, so a run left
-    open at shutdown closes correctly after restart)."""
+    open at shutdown closes correctly after restart).
+
+    foreachBatch is at-least-once: a crash between the sink write and
+    the checkpoint commit replays the batch and duplicates its rows.
+    Each batch therefore writes into its own `_batch=<id>` partition —
+    dynamic overwrite makes the replay idempotent (the same trick the
+    ingest partials use, streaming/rollup_stream.py batch keys)."""
     events = streaming_run_events(read_series_stream(spark, path, files_per_trigger))
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out)
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(out)
+        )
 
     return (
         events.writeStream.outputMode("append")

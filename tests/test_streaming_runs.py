@@ -165,6 +165,7 @@ def test_restart_from_checkpoint_no_dupes_no_loss(spark, tmp_path):
         q2.stop()
     both = (
         spark.read.parquet(out)
+        .drop("_batch")  # per-batch idempotency partition, not event data
         .toPandas()
         .sort_values(["source", "run_id"])
         .reset_index(drop=True)
