@@ -254,19 +254,23 @@ def start_runs_stream_to_parquet(spark: SparkSession, path: str, out: str,
     dynamic overwrite makes the replay idempotent (the same trick the
     ingest partials use, streaming/rollup_stream.py batch keys)."""
     events = streaming_run_events(read_series_stream(spark, path, files_per_trigger))
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn("_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch")
-            .parquet(out)
-        )
-
     return (
         events.writeStream.outputMode("append")
-        .foreachBatch(_sink)
+        .foreachBatch(lambda df, bid: write_events_batch(df, bid, out))
         .option("checkpointLocation", checkpoint)
         .start()
+    )
+
+
+def write_events_batch(batch_df: DataFrame, batch_id: int, out: str) -> None:
+    """Idempotent per-batch event write: the batch lands in its own
+    `_batch=<id>` partition via dynamic overwrite, so an at-least-once
+    replay rewrites the same partition instead of appending duplicates.
+    Module-level so the replay property is directly testable."""
+    (
+        batch_df.withColumn("_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(out)
     )

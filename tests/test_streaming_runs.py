@@ -230,6 +230,39 @@ def test_group_spanning_multiple_arrow_chunks(spark, tmp_path):
         spark.conf.set(key, old)
 
 
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """An at-least-once foreachBatch replay re-invokes the sink with the
+    same batch id: the dynamic-overwrite partition write must leave the
+    output identical to a single delivery, and other batches untouched."""
+    from drought_t_spark.streaming.runs_stream import write_events_batch
+
+    out = str(tmp_path / "events")
+    t0 = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame(
+        {
+            "source": ["a", "b"],
+            "run_id": pd.array([1, 1], dtype="int64"),
+            "below": pd.array([1, 0], dtype="int32"),
+            "onset": [t0, t0],
+            "termination": [t0, t0],
+            "duration": pd.array([3, 4], dtype="int64"),
+            "severity": [1.5, 0.0],
+            "peak": [0.7, 0.0],
+            "excess": [0.0, 2.0],
+        }
+    )
+    from drought_t_spark.streaming.runs_stream import RUN_EVENTS_SCHEMA
+
+    df0 = spark.createDataFrame(ev, RUN_EVENTS_SCHEMA)
+    df1 = spark.createDataFrame(ev.assign(source=["c", "d"]), RUN_EVENTS_SCHEMA)
+    write_events_batch(df0, 0, out)
+    write_events_batch(df1, 1, out)
+    write_events_batch(df0, 0, out)  # replay of batch 0
+    got = spark.read.parquet(out).drop("_batch").toPandas()
+    assert len(got) == 4
+    assert sorted(got["source"]) == ["a", "b", "c", "d"]
+
+
 def test_late_rows_dropped(spark, tmp_path):
     """A row at or behind the per-source high-water mark is dropped —
     emitted runs equal batch over the in-order rows only."""
