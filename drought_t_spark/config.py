@@ -12,7 +12,9 @@ s_min = 0.005·max-severity-per-site.
 
 from __future__ import annotations
 
+import tomllib
 from dataclasses import dataclass, replace
+from dataclasses import fields as dataclass_fields
 from typing import Literal
 
 Tier = Literal["hour", "day", "month"]
@@ -63,6 +65,39 @@ class EngineConfig:
 
     def with_(self, **kw) -> "EngineConfig":
         return replace(self, **kw)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EngineConfig":
+        """Strict construction from a plain mapping (the reference's
+        config is TOML parsed to a dict — SURVEY.md §3.1 #1). Unknown
+        keys are an error, not a silent ignore: a typo'd threshold knob
+        that falls back to the default produces wrong events with no
+        trace, the worst failure mode a config can have."""
+        fields = {f.name for f in dataclass_fields(cls)}
+        unknown = set(d) - fields
+        if unknown:
+            raise ValueError(
+                f"unknown config keys: {sorted(unknown)}; known: {sorted(fields)}"
+            )
+        return cls(**d)
+
+    @classmethod
+    def from_toml(cls, path: str) -> "EngineConfig":
+        """Load the reference-style TOML config file. Keys may live at
+        the top level or under a single `[drought]` table (both shapes
+        appear in the reference's docs); tables are merged with
+        top-level keys winning on conflict so a file that sets both is
+        rejected by the strict unknown-key check rather than silently
+        preferring one."""
+        with open(path, "rb") as f:
+            raw = tomllib.load(f)
+        table = raw.pop("drought", {})
+        if not isinstance(table, dict):
+            raise ValueError("[drought] must be a table")
+        overlap = set(table) & set(raw)
+        if overlap:
+            raise ValueError(f"keys set both top-level and in [drought]: {sorted(overlap)}")
+        return cls.from_dict({**table, **raw})
 
 
 DEFAULT = EngineConfig()
