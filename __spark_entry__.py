@@ -367,7 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (crossing the hour boundary when the next bucket exists, falling
         back across gaps when it doesn't). DuckDB's native ASOF JOIN is
         the oracle."""
-        from drought_t_spark.operators.asof import asof_join
+        from drought_t_spark.operators.asof import asof_join_bucketed
 
         ev = _t(spark, sf_dir, "events").select(
             "event_type", "event_id",
@@ -376,9 +376,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         h = _hour_stats(spark, sf_dir).select(
             F.col("source").alias("event_type"), "bucket_start", "avg_raw"
         )
-        out = asof_join(
+        # r6: the hourly right side is step-aligned and tiny, so the
+        # dense-calendar broadcast variant replaces the union+window
+        # plan — the 1M-row left side is no longer shuffled/sorted into
+        # a handful of per-key partitions (result-identical; DuckDB
+        # native ASOF JOIN oracle unchanged)
+        out = asof_join_bucketed(
             ev, h, by=["event_type"], left_ts="probe", right_ts="bucket_start",
-            value_cols=["bucket_start", "avg_raw"],
+            value_cols=["bucket_start", "avg_raw"], step="hour",
         )
         return out.select(
             "event_type", "event_id", "bucket_start",
@@ -417,10 +422,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- ranking / top-k (W4/SO2) ---
     def topk_per_group(spark, sf_dir):
-        ev = _t(spark, sf_dir, "events")
-        w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.col("event_id"))
+        # r6 two-phase top-k: the single-window plan sorts the whole
+        # table in one partition per event_type (5 keys → 5 giant sorted
+        # partitions however many cores exist). Phase 1 takes the top 3
+        # per (event_type, salt-of-64) — the global top 3 of a group is
+        # necessarily in the union of its per-salt top 3s — leaving
+        # ≤ 192 rows per group for the exact phase-2 window. Ordering by
+        # (desc value, event_id) is total (event_id unique), so rn is
+        # deterministic and identical to the one-window plan. Projecting
+        # (event_type, event_id, value) first keeps ts/props out of the
+        # shuffles (guide §2.3).
+        ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+        salt = F.pmod(F.xxhash64("event_id"), F.lit(64))
+        order = [F.desc("value"), F.col("event_id")]
+        w1 = Window.partitionBy("event_type", "_salt").orderBy(*order)
+        w = Window.partitionBy("event_type").orderBy(*order)
         return (
-            ev.withColumn("rn", F.row_number().over(w).cast("long"))
+            ev.withColumn("_salt", salt)
+            .withColumn("_prn", F.row_number().over(w1))
+            .where(F.col("_prn") <= 3)
+            .withColumn("rn", F.row_number().over(w).cast("long"))
             .where(F.col("rn") <= 3)
             .select("event_type", "event_id", "value", "rn")
         )
@@ -543,7 +564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint_docs"] = fingerprint_docs
 
     def text_stats(spark, sf_dir):
-        return TS.text_stats(_t(spark, sf_dir, "documents"))
+        # r6: _scaled like the other per-row text ops — the single-file
+        # table otherwise runs the regexp/split projection on one core
+        return TS.text_stats(_scaled(spark, _t(spark, sf_dir, "documents")))
     q["text_stats"] = text_stats
 
     def lang_id(spark, sf_dir):

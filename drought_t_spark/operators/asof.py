@@ -25,6 +25,84 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    step: str = "hour",
+) -> DataFrame:
+    """Backward as-of join specialised for a SMALL, step-aligned right
+    side (every right_ts lies on a `step` boundary, e.g. hourly rollup
+    buckets): result-identical to ``asof_join(..., how='inner')`` but
+    with a completely different physical shape.
+
+    The generic tag+union+window plan shuffles and sorts the ENTIRE
+    left side partitioned only by `by` — with a handful of keys that is
+    a few giant sorted partitions regardless of cluster size (the J7
+    skew trap). Here the right side is densified instead: a per-key
+    calendar from min to max right_ts at `step` granularity, each slot
+    carrying the latest real right row at-or-before it (one LOCF window
+    over the tiny right side). Each left row then equi-joins on
+    (by, least(date_trunc(step, left_ts), max right_ts per key)) — a
+    broadcast hash join; the big side is never shuffled or sorted.
+    The clamp maps late probes to the final bucket, exactly what
+    backward as-of yields there; probes before the first right row find
+    no calendar slot and drop, matching how='inner'. Ties are inclusive
+    (a probe ON a bucket start matches that bucket) because the slot at
+    t carries any real row at t itself.
+
+    The calendar size is span/step per key — time-bounded, not
+    row-bounded, so the broadcast stays small for any rollup-tier right
+    side. Do not use for right sides with multi-year gaps at sub-hour
+    steps or rows off the step lattice (asserted nowhere: caller
+    contract, covered by the oracle parity test)."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in set(by) | {right_ts}]
+    lcols = left.columns
+    rv = F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_rv")
+    r = right.select(*by, F.col(right_ts).alias("_rts"), rv)
+    # dense per-key slot calendar: every step between min and max _rts,
+    # each slot LOCF-carrying the latest real row's value struct
+    bounds = r.groupBy(*by).agg(F.min("_rts").alias("_lo"), F.max("_rts").alias("_hi"))
+    cal = bounds.select(
+        *by,
+        F.col("_hi").alias("_maxr"),
+        F.explode(F.expr(f"sequence(_lo, _hi, interval 1 {step})")).alias("_slot"),
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_slot")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        cal.alias("c")
+        .join(
+            r.alias("r"),
+            [F.col(f"c.{c}") == F.col(f"r.{c}") for c in by]
+            + [F.col("c._slot") == F.col("r._rts")],
+            "left",
+        )
+        .select(*[F.col(f"c.{c}").alias(c) for c in by], "c._slot", "r._rv")
+        .withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+        .where(F.col("_m").isNotNull())
+        .select(*by, "_slot", "_m")
+    )
+    maxb = bounds.select(*by, F.col("_hi").alias("_maxb"))
+    out = (
+        left.join(F.broadcast(maxb), by)
+        .withColumn("_slot", F.least(F.date_trunc(step, F.col(left_ts)), F.col("_maxb")))
+        .join(F.broadcast(filled), [*by, "_slot"])
+    )
+    return out.select(
+        *by,
+        *[F.col(c) for c in lcols if c not in by],
+        *[F.col("_m").getField(c).alias(c) for c in value_cols],
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -71,9 +71,15 @@ def _pool_pass(ev: DataFrame, cfg: EngineConfig) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    # internal gap = gap_after of every chain member except the last
-    wlast = Window.partitionBy("source", "chain").orderBy(F.desc("onset"))
-    marked = chained.withColumn("is_last", F.row_number().over(wlast) == 1)
+    # internal gap = gap_after of every chain member except the last.
+    # Chains are maximal runs of consecutive rows in (source, onset)
+    # order, so "last member" ⇔ the successor row (same window spec as
+    # the lag/running-sum above — no second Exchange/Sort for a
+    # descending re-sort) starts a different chain or doesn't exist.
+    marked = chained.withColumn(
+        "is_last",
+        F.coalesce(F.lead("chain").over(w) != F.col("chain"), F.lit(True)),
+    )
     merged = marked.groupBy("source", "chain").agg(
         F.min("onset").alias("onset"),
         F.max("termination").alias("termination"),

@@ -293,7 +293,13 @@ def pack_payloads(
     shuffled = base if pre_partitioned else base.repartition(
         "source", "bs_epoch", "chunk_id"
     )
-    parts = shuffled.sortWithinPartitions("source", "bs_epoch", "chunk_id", "seq")
+    # Sort by (source, seq) only: ts := epoch + seq minutes (the T1
+    # contract, with_event_time), so bs_epoch and chunk_id are
+    # nondecreasing in seq within a source — (source, seq) order IS
+    # (source, bs_epoch, chunk_id, seq) order with half the comparator
+    # key walk (the radix prefix covers `source`; ties resolve on one
+    # long instead of long+int+long).
+    parts = shuffled.sortWithinPartitions("source", "seq")
     wrap = bool(cfg.payload_zlib)
     pay = parts.drop("seq").mapInArrow(
         lambda batches: _encode_arrow_stream(batches, wrap_zlib=wrap),

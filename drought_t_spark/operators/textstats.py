@@ -31,6 +31,10 @@ def _stopword_hits(text_col: str, words: list[str]) -> Column:
 
 
 def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    # two-step select: the regexp_replace (the expensive expression
+    # here) is evaluated once and punct_ratio derives from the result —
+    # a single projection would inline it into both n_punct and
+    # punct_ratio (CollapseProject), doubling the regex pass per row
     w = _WORDS.format(c=text_col)
     return df.select(
         F.col(id_col),
@@ -39,8 +43,10 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         (F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))))
         .cast("long").alias("n_spaces"),
         F.length(F.regexp_replace(F.col(text_col), r"[^.,!?;:]", "")).cast("long").alias("n_punct"),
-        (F.length(F.regexp_replace(F.col(text_col), r"[^.,!?;:]", "")) / F.greatest(F.length(text_col), F.lit(1)))
-        .alias("punct_ratio"),
+        F.greatest(F.length(text_col), F.lit(1)).alias("_len1"),
+    ).select(
+        id_col, "n_chars", "n_words", "n_spaces", "n_punct",
+        (F.col("n_punct") / F.col("_len1")).alias("punct_ratio"),
     )
 
 
