@@ -88,17 +88,28 @@ def minhash_signatures_arrow(
 
     def kernel(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         for rb in batches:
             n = rb.num_rows
             if n == 0:
                 continue
-            texts = rb.column(1).to_pylist()
-            data = [t.encode("utf-8") if t is not None else b"" for t in texts]
-            lens = np.fromiter((len(b) for b in data), np.int64, n)
-            buf = np.frombuffer(b"".join(data), np.uint8)
-            starts = np.zeros(n, np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
+            # r6: zero-copy string path. Arrow strings are already UTF-8,
+            # so after fill_null the large_binary cast's data buffer IS
+            # the per-doc concatenation the kernel needs — no to_pylist,
+            # no per-doc encode()/join() Python loop (the last row-wise
+            # work in this kernel, flagged by the r5 review).
+            col = pc.cast(pc.fill_null(rb.column(1), ""), pa.large_binary())
+            vbufs = col.buffers()
+            offs = np.frombuffer(vbufs[1], np.int64, n + 1, 8 * col.offset)
+            nbytes = int(offs[-1] - offs[0])
+            buf = (
+                np.frombuffer(vbufs[2], np.uint8, nbytes, int(offs[0]))
+                if vbufs[2] is not None and nbytes
+                else np.zeros(0, np.uint8)
+            )
+            lens = np.diff(offs)
+            starts = (offs[:-1] - offs[0]).astype(np.int64)
             m = len(buf)
             ng = max(m - k + 1, 0)
             g = np.zeros(ng, np.uint64)
@@ -109,11 +120,22 @@ def minhash_signatures_arrow(
             good = valid > 0
             sig = np.empty((n, n_hashes), np.uint64)
             if good.any():
-                # compact the boundary-crossing grams away once; every
-                # permutation then reduces over contiguous segments
-                vidx = np.concatenate(
-                    [np.arange(s, s + c) for s, c in zip(starts, valid) if c > 0]
+                # compact the boundary-crossing grams away once (ragged-
+                # arange over the ≤ k-1 bad positions per doc end, all
+                # vectorized); every permutation then reduces over
+                # contiguous segments
+                ends = starts + lens
+                bad0 = np.maximum(ends - (k - 1), starts)
+                cnt = (ends - bad0).astype(np.int64)
+                tot = int(cnt.sum())
+                bad = (
+                    np.repeat(bad0, cnt)
+                    + np.arange(tot, dtype=np.int64)
+                    - np.repeat(np.cumsum(cnt) - cnt, cnt)
                 )
+                ok = np.ones(ng, bool)
+                ok[bad[bad < ng]] = False
+                vidx = np.flatnonzero(ok)
                 hv = h[vidx]
                 cuts = np.zeros(int(good.sum()), np.int64)
                 np.cumsum(valid[good][:-1], out=cuts[1:])
@@ -259,11 +281,25 @@ def minhash_lsh_pairs(
         .where(F.col("est_j") >= est_cut)
         .select("id_a", "id_b")
     )
+    est = materialize(est)
     if counters is not None:
-        est = materialize(est)
         counters["stage2_estimate_survivors"] = est.count()
-    # stage 3: exact Jaccard on the shingle sets of the survivors
-    sh_tbl = base.select("id", shingles("text", k).alias("sh"))
+    # stage 3: exact Jaccard on the shingle sets of the survivors.
+    # Shingle only the docs that actually appear in a surviving pair —
+    # the k-shingle transform is an interpreted Catalyst HOF (the
+    # costliest per-doc expression here) and most docs survive no
+    # candidate pair, so computing sh for the full corpus priced stage 3
+    # by corpus size instead of survivor size (r6; guide §3.2's
+    # "reduce the side before the join"). `est` is materialized above
+    # (it now has two consumers: the id filter and the verify join).
+    ids = (
+        est.select(F.col("id_a").alias("id"))
+        .unionByName(est.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_tbl = base.join(ids, "id", "left_semi").select(
+        "id", shingles("text", k).alias("sh")
+    )
     jac = (
         est.join(sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

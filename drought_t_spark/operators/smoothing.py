@@ -28,6 +28,12 @@ def moving_avg(
 ) -> DataFrame:
     """Centered MA of width `window` (odd) over a DENSE calendar."""
     assert window % 2 == 1, "centered window must be odd"
+    if window == 1:
+        # identity smoothing (MA disabled in config): avg over the
+        # [0, 0] frame is the row's own value with identical null
+        # semantics — skip the whole window pass (one fewer
+        # Exchange+Sort in every ma_window=1 DAG, e.g. runs_events)
+        return df.withColumn(out_col, F.col(value_col).cast("double"))
     k = window // 2
     w = Window.partitionBy("source").orderBy(order_col).rowsBetween(-k, k)
     return df.withColumn(out_col, F.avg(value_col).over(w))
