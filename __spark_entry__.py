@@ -422,25 +422,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- ranking / top-k (W4/SO2) ---
     def topk_per_group(spark, sf_dir):
-        # r6 two-phase top-k: the single-window plan sorts the whole
-        # table in one partition per event_type (5 keys → 5 giant sorted
-        # partitions however many cores exist). Phase 1 takes the top 3
-        # per (event_type, salt-of-64) — the global top 3 of a group is
-        # necessarily in the union of its per-salt top 3s — leaving
-        # ≤ 192 rows per group for the exact phase-2 window. Ordering by
-        # (desc value, event_id) is total (event_id unique), so rn is
-        # deterministic and identical to the one-window plan. Projecting
-        # (event_type, event_id, value) first keeps ts/props out of the
-        # shuffles (guide §2.3).
+        # r6 sketch-prefiltered top-k. The one-window plan shuffles and
+        # sorts the whole table with one partition per event_type; the
+        # expensive part at this input shape is pushing every row
+        # through the exchange at all. Instead, a mergeable
+        # percentile_approx (Greenwald-Khanna) finds a per-group cutoff
+        # provably at-or-below the 3rd-largest value — rank error is
+        # ≤ n/accuracy = n/10000, so at q=0.999 at least 0.0009·n ≥ 9
+        # rows sit at-or-above the returned value for n ≥ 10000; groups
+        # below 10000 rows skip the cut (-inf) — and the exact window
+        # runs on only the rows ≥ cutoff (~0.1% of the table; null
+        # values are kept for the degenerate all-null-group case).
+        # Value-based ≥ keeps every tie, so the survivor set is a
+        # superset of the top 3 and rn is identical to the one-window
+        # plan. The sketch aggregation is map-side partial (a bounded
+        # sketch per partition crosses the exchange, not the rows —
+        # guide §2.3 "aggregate before you shuffle").
         ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
-        salt = F.pmod(F.xxhash64("event_id"), F.lit(64))
-        order = [F.desc("value"), F.col("event_id")]
-        w1 = Window.partitionBy("event_type", "_salt").orderBy(*order)
-        w = Window.partitionBy("event_type").orderBy(*order)
+        th = ev.groupBy("event_type").agg(
+            F.when(F.count("*") < 10000, F.lit(float("-inf")))
+            .otherwise(F.percentile_approx("value", F.lit(0.999), F.lit(10000)))
+            .alias("_cut")
+        )
+        w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.col("event_id"))
         return (
-            ev.withColumn("_salt", salt)
-            .withColumn("_prn", F.row_number().over(w1))
-            .where(F.col("_prn") <= 3)
+            ev.join(F.broadcast(th), "event_type")
+            .where((F.col("value") >= F.col("_cut")) | F.col("value").isNull())
             .withColumn("rn", F.row_number().over(w).cast("long"))
             .where(F.col("rn") <= 3)
             .select("event_type", "event_id", "value", "rn")

@@ -44,8 +44,8 @@ def asof_join_bucketed(
     a few giant sorted partitions regardless of cluster size (the J7
     skew trap). Here the right side is densified instead: a per-key
     calendar from min to max right_ts at `step` granularity, each slot
-    carrying the latest real right row at-or-before it (one LOCF window
-    over the tiny right side). Each left row then equi-joins on
+    carrying the latest real right row at-or-before it (one lead window
+    + explode over the tiny right side). Each left row then equi-joins on
     (by, least(date_trunc(step, left_ts), max right_ts per key)) — a
     broadcast hash join; the big side is never shuffled or sorted.
     The clamp maps late probes to the final bucket, exactly what
@@ -64,33 +64,30 @@ def asof_join_bucketed(
     lcols = left.columns
     rv = F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_rv")
     r = right.select(*by, F.col(right_ts).alias("_rts"), rv)
-    # dense per-key slot calendar: every step between min and max _rts,
-    # each slot LOCF-carrying the latest real row's value struct
-    bounds = r.groupBy(*by).agg(F.min("_rts").alias("_lo"), F.max("_rts").alias("_hi"))
-    cal = bounds.select(
-        *by,
-        F.col("_hi").alias("_maxr"),
-        F.explode(F.expr(f"sequence(_lo, _hi, interval 1 {step})")).alias("_slot"),
-    )
-    w = (
-        Window.partitionBy(*by)
-        .orderBy("_slot")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    # dense per-key slot calendar, built the gap_fill way: each real row
+    # emits the slots [its _rts, next _rts) carrying itself — one lead
+    # window + one explode over the tiny right side. (The first cut of
+    # this operator aggregated per-key bounds, exploded a calendar,
+    # re-joined the right side and ran a LOCF window — three more stage
+    # barriers for an identical `filled` table; r6 probe: build 0.73 s
+    # vs 0.55 s at the bench shape.)
+    wlead = Window.partitionBy(*by).orderBy("_rts")
     filled = (
-        cal.alias("c")
-        .join(
-            r.alias("r"),
-            [F.col(f"c.{c}") == F.col(f"r.{c}") for c in by]
-            + [F.col("c._slot") == F.col("r._rts")],
-            "left",
+        r.withColumn("_nxt", F.lead("_rts").over(wlead))
+        .select(
+            *by,
+            F.col("_rv").alias("_m"),
+            F.explode(
+                F.expr(
+                    f"sequence(_rts, coalesce(_nxt - interval 1 {step}, _rts),"
+                    f" interval 1 {step})"
+                )
+            ).alias("_slot"),
         )
-        .select(*[F.col(f"c.{c}").alias(c) for c in by], "c._slot", "r._rv")
-        .withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
-        .where(F.col("_m").isNotNull())
-        .select(*by, "_slot", "_m")
     )
-    maxb = bounds.select(*by, F.col("_hi").alias("_maxb"))
+    # per-key last real bucket (for clamping late probes); max(_rts)
+    # equals max(_slot) because the final row emits only its own slot
+    maxb = r.groupBy(*by).agg(F.max("_rts").alias("_maxb"))
     out = (
         left.join(F.broadcast(maxb), by)
         .withColumn("_slot", F.least(F.date_trunc(step, F.col(left_ts)), F.col("_maxb")))
