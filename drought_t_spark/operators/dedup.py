@@ -281,25 +281,21 @@ def minhash_lsh_pairs(
         .where(F.col("est_j") >= est_cut)
         .select("id_a", "id_b")
     )
-    est = materialize(est)
     if counters is not None:
+        est = materialize(est)
         counters["stage2_estimate_survivors"] = est.count()
     # stage 3: exact Jaccard on the shingle sets of the survivors.
-    # Shingle only the docs that actually appear in a surviving pair —
-    # the k-shingle transform is an interpreted Catalyst HOF (the
-    # costliest per-doc expression here) and most docs survive no
-    # candidate pair, so computing sh for the full corpus priced stage 3
-    # by corpus size instead of survivor size (r6; guide §3.2's
-    # "reduce the side before the join"). `est` is materialized above
-    # (it now has two consumers: the id filter and the verify join).
-    ids = (
-        est.select(F.col("id_a").alias("id"))
-        .unionByName(est.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    sh_tbl = base.join(ids, "id", "left_semi").select(
-        "id", shingles("text", k).alias("sh")
-    )
+    # NOTE (r6): three variants of restricting the shingle build to
+    # surviving docs were measured (semi-join filter with est
+    # materialized / est lazy, and join-then-shingle): every one LOST —
+    # +0.5 s at the bench shape from the extra stages or checkpoint, a
+    # 3×-duplicated shingle expression from predicate pushdown in the
+    # join-then-shingle form, and no measurable end-to-end win at 1M
+    # docs (13.4 vs 13.6 kdocs/s — the funnel is bound by the band and
+    # estimate joins, not the shingle projection). Shingles also stay
+    # BELOW the verify join so the jaccard threshold cannot be pushed
+    # into (and duplicate) the shingle HOF.
+    sh_tbl = base.select("id", shingles("text", k).alias("sh"))
     jac = (
         est.join(sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
