@@ -105,8 +105,15 @@ def pool_events(ev_with_gaps: DataFrame, cfg: EngineConfig = DEFAULT,
     table; each pass localCheckpoint()ed to keep lineage flat)."""
     if cfg.pooling != "ic":
         return ev_with_gaps
-    ev = ev_with_gaps.localCheckpoint(eager=True)
-    n = ev.count()
+    # r6: no up-front checkpoint/count of the input — the input is
+    # consumed exactly once (by the first pass), and the convergence
+    # baseline comes from the first pass's own count. A pass applied to
+    # a fixed point is the identity (singleton chains re-aggregate to
+    # the same rows), so "two consecutive passes with equal counts"
+    # terminates at the same table as the old "pass count equals input
+    # count" check, two driver jobs cheaper per call.
+    ev = ev_with_gaps
+    n = -1
     for _ in range(max_passes):
         ev = _pool_pass(ev, cfg).localCheckpoint(eager=True)
         m = ev.count()
