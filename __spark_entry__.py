@@ -1033,13 +1033,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(cols)
             )
             sym = streamed.exceptAll(term).unionByName(term.exceptAll(streamed))
+            # full outer: a source with ZERO batch-terminated runs but
+            # spurious streamed rows must still surface (it appears in
+            # `sym` only) — a left join from `term` coalesced such a
+            # mismatch to runs_match=1 silently (r5 ADVICE)
             runs = (
                 term.groupBy("source")
                 .agg(F.count("*").cast("long").alias("n_runs_closed"))
                 .join(
                     sym.groupBy("source").agg(F.count("*").alias("n_mm")),
                     "source",
-                    "left",
+                    "full_outer",
+                )
+                .withColumn(
+                    "n_runs_closed", F.coalesce(F.col("n_runs_closed"), F.lit(0))
                 )
                 .withColumn(
                     "runs_match",

@@ -85,10 +85,10 @@ class EngineConfig:
     def from_toml(cls, path: str) -> "EngineConfig":
         """Load the reference-style TOML config file. Keys may live at
         the top level or under a single `[drought]` table (both shapes
-        appear in the reference's docs); tables are merged with
-        top-level keys winning on conflict so a file that sets both is
-        rejected by the strict unknown-key check rather than silently
-        preferring one."""
+        appear in the reference's docs); a key set in BOTH places is
+        rejected by the explicit overlap check below (ValueError naming
+        the duplicated keys) rather than one location silently winning,
+        and any remaining unknown key is rejected by from_dict."""
         with open(path, "rb") as f:
             raw = tomllib.load(f)
         table = raw.pop("drought", {})

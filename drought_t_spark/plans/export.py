@@ -46,7 +46,18 @@ _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 
 def _finalize_single_file(out_dir: str, target: str) -> None:
     parts = sorted(glob.glob(os.path.join(out_dir, "part-*")))
-    assert len(parts) == 1, parts
+    if len(parts) != 1:
+        # not an assert: must hold under `python -O` too
+        raise RuntimeError(
+            f"single-file export expected exactly one part in {out_dir}, got {parts}"
+        )
+    if os.path.isdir(target):
+        # shutil.move would silently move the part INTO the directory
+        # (e.g. a prior default-mode export to the same name), leaving
+        # nothing at the expected file path — refuse instead
+        raise IsADirectoryError(
+            f"single-file export target {target} is an existing directory"
+        )
     shutil.move(parts[0], target)
     shutil.rmtree(out_dir, ignore_errors=True)
 

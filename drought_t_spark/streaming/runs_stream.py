@@ -140,6 +140,17 @@ def _fold_runs(
             pdf, ts = pdf[fresh], ts[fresh]
         if len(ts) == 0:
             continue
+        # Intra-batch replay: an at-least-once upstream can land the
+        # same bucket twice in ONE trigger (e.g. duplicated input
+        # files); keep only the FIRST row per bucket_start (stable
+        # mergesort above preserves arrival order) so a duplicate in
+        # the same micro-batch is dropped exactly like the identical
+        # row arriving one batch later is dropped by the high-water
+        # mark — the two replay timings now behave identically.
+        keep = np.ones(len(ts), bool)
+        keep[1:] = ts[1:] > ts[:-1]
+        if not keep.all():
+            pdf, ts = pdf[keep], ts[keep]
         x_ma = pdf["x_ma"].to_numpy(dtype=np.float64)
         x0 = pdf["x0"].to_numpy(dtype=np.float64)
         nn = ~(np.isnan(x_ma) | np.isnan(x0))

@@ -134,3 +134,42 @@ def test_fold_drops_late_rows_pure():
             emitted.append(out)
     b = pd.concat(emitted, ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_fold_intra_batch_duplicate_equals_cross_batch(  # r6 ADVICE fix
+):
+    """An at-least-once upstream can deliver the same bucket twice in
+    ONE micro-batch (two files, one trigger) or in TWO micro-batches.
+    Both replays must fold identically: the duplicate is dropped, so
+    the emitted runs equal the no-duplicate fold."""
+    t0 = np.datetime64("2024-01-01", "us")
+    hr = np.timedelta64(3600_000_000, "us")
+    vals = [-1.0, -2.0, 3.0, -4.0, -5.0, 6.0]
+    ts = t0 + np.arange(len(vals)) * hr
+
+    def run(chunks):
+        state = FakeState()
+        emitted = []
+        for idx in chunks:
+            pdf = pd.DataFrame(
+                {
+                    "source": "s",
+                    "bucket_start": ts[idx],
+                    "x_ma": np.array([vals[i] for i in idx], dtype=np.float64),
+                    "x0": 0.0,
+                }
+            )
+            for out in _fold_runs(("s",), iter([pdf]), state):
+                emitted.append(out)
+        return pd.concat(emitted, ignore_index=True) if emitted else pd.DataFrame()
+
+    clean = run([[0, 1, 2], [3, 4, 5]])
+    # duplicate of bucket 1 inside the SAME batch as the original
+    intra = run([[0, 1, 1, 2], [3, 4, 5]])
+    # the identical duplicate arriving one batch later instead
+    cross = run([[0, 1, 2], [1, 3, 4, 5]])
+    for dup in (intra, cross):
+        assert len(dup) == len(clean)
+        for c in ("run_id", "below", "duration", "severity", "peak",
+                  "excess", "onset", "termination"):
+            assert list(dup[c]) == list(clean[c]), c
